@@ -1,0 +1,48 @@
+"""Test configuration: virtual 8-device CPU mesh + float64 enabled.
+
+Note: this environment pre-registers a TPU-tunnel ('axon') PJRT plugin via
+sitecustomize and pins JAX_PLATFORMS=axon, so plain env vars are not enough —
+we must override the platform through jax.config before any backend
+initializes. XLA_FLAGS must still be set before jax import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_chain_coords(n_atoms: int, rng: np.random.Generator) -> np.ndarray:
+    """Random extended-chain geometry with ~1.5 A steps (well-conditioned)."""
+    steps = rng.normal(size=(n_atoms, 3))
+    steps /= np.linalg.norm(steps, axis=1, keepdims=True)
+    return np.cumsum(steps * 1.5, axis=0)
+
+
+def perturb_ensemble(
+    base: np.ndarray, n_confs: int, scale: float, rng: np.random.Generator
+) -> np.ndarray:
+    """Ensemble of randomly rotated + jittered copies of one structure."""
+    from scipy.spatial.transform import Rotation
+
+    out = np.empty((n_confs, *base.shape))
+    for b in range(n_confs):
+        r = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+        jitter = rng.normal(scale=scale, size=base.shape)
+        shift = rng.normal(scale=5.0, size=(1, 3))
+        out[b] = (base + jitter) @ r.T + shift
+    return out

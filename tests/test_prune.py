@@ -1,0 +1,129 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from firecode_tpu.prune import prune_by_moi, prune_by_rmsd, prune_by_rmsd_rot_corr, prune_by_tfd
+from firecode_tpu.prune.oracle import (
+    np_prune_by_moi,
+    np_prune_by_rmsd,
+    np_prune_by_rmsd_rot_corr,
+    np_prune_by_tfd,
+)
+from tests.conftest import make_chain_coords, perturb_ensemble
+
+
+def _ensemble_with_duplicates(rng, n_atoms=14, n_groups=6, group_size=5, scale=0.05):
+    """Clusters of near-duplicates: members differ by tiny jitter + rigid motion."""
+    groups = []
+    for _ in range(n_groups):
+        base = make_chain_coords(n_atoms, rng)
+        groups.append(perturb_ensemble(base, group_size, scale=scale, rng=rng))
+    ens = np.concatenate(groups)
+    order = rng.permutation(len(ens))
+    return ens[order]
+
+
+def test_prune_by_rmsd_matches_oracle(rng):
+    ens = _ensemble_with_duplicates(rng)
+    got = prune_by_rmsd(ens, rmsd_thr=0.5, block=8)
+    want = np_prune_by_rmsd(ens, rmsd_thr=0.5)
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() < len(ens)  # something was actually pruned
+
+
+def test_prune_by_rmsd_blocksize_invariance(rng):
+    ens = _ensemble_with_duplicates(rng, n_groups=4, group_size=4)
+    masks = [prune_by_rmsd(ens, rmsd_thr=0.5, block=b) for b in (2, 4, 8, 16)]
+    for m in masks[1:]:
+        np.testing.assert_array_equal(masks[0], m)
+
+
+def test_prune_by_rmsd_energy_gating(rng):
+    ens = _ensemble_with_duplicates(rng, n_groups=3, group_size=4)
+    energies = rng.normal(size=len(ens)) * 5.0
+    got = prune_by_rmsd(ens, energies=energies, max_dE=1.0, block=8)
+    want = np_prune_by_rmsd(ens, energies=energies, max_dE=1.0)
+    np.testing.assert_array_equal(got, want)
+    # gating must keep more than no gating
+    assert got.sum() >= prune_by_rmsd(ens, block=8).sum()
+
+
+def test_prune_by_moi_matches_oracle(rng):
+    ens = _ensemble_with_duplicates(rng, n_groups=5, group_size=4, scale=0.01)
+    atomnos = rng.integers(1, 18, size=ens.shape[1])
+    got = prune_by_moi(ens, atomnos, block=8)
+    want = np_prune_by_moi(ens, atomnos)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_prune_by_tfd_matches_oracle(rng):
+    base = make_chain_coords(12, rng)
+    ens = perturb_ensemble(base, 20, scale=0.02, rng=rng)
+    quads = np.array([[0, 1, 2, 3], [2, 3, 4, 5], [5, 6, 7, 8], [8, 9, 10, 11]])
+    got = prune_by_tfd(ens, quads, thresh=10.0, block=4)
+    want = np_prune_by_tfd(ens, quads, thresh=10.0)
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() < 20
+
+
+def _methyl_like(rng):
+    """A 'methyl'-bearing toy molecule with exact C3 symmetry of the H atoms.
+
+    atoms: C0 (apex), C1 (methyl C), H2 H3 H4 arranged 3-fold about the C0-C1
+    axis, plus a tail atom on C0 to break other symmetries.
+    """
+    c0 = np.zeros(3)
+    c1 = np.array([0.0, 0.0, 1.54])
+    hs = []
+    for k in range(3):
+        ang = 2 * np.pi * k / 3
+        hs.append(c1 + np.array([np.cos(ang), np.sin(ang), 0.4]) * np.array([1.0, 1.0, 1.0]))
+    tail = np.array([0.0, 1.0, -1.0])
+    coords = np.stack([c0, c1, *hs, tail])
+    atomnos = np.array([6, 6, 1, 1, 1, 8], dtype=np.int32)
+    return atomnos, coords
+
+
+def test_rotamer_permutations_found():
+    from firecode_tpu.torsions import rotamer_permutations
+
+    atomnos, coords = _methyl_like(np.random.default_rng(0))
+    perms = rotamer_permutations(atomnos, coords)
+    assert len(perms) == 2  # the two non-identity methyl rotations
+    for p in perms:
+        # permutes only hydrogens 2, 3, 4
+        assert set(np.where(p != np.arange(6))[0]) <= {2, 3, 4}
+
+
+def test_prune_rot_corr_matches_oracle(rng):
+    from firecode_tpu.torsions import rotamer_permutations
+
+    atomnos, base = _methyl_like(rng)
+    # build rotamer duplicates: same structure with H labels cyclically permuted
+    perms = rotamer_permutations(atomnos, base)
+    assert len(perms) > 0
+    ens = [base]
+    for p in perms:
+        ens.append(base[p])
+    ens.append(base + np.array([0.0, 0.0, 3.0]) * 0)  # exact duplicate
+    dissimilar = base.copy()
+    dissimilar[-1] += np.array([3.0, 3.0, 3.0])
+    ens.append(dissimilar)
+    ens = np.stack(ens)
+
+    got = prune_by_rmsd_rot_corr(ens, atomnos, permutations=perms, rmsd_thr=0.3, block=2)
+    want = np_prune_by_rmsd_rot_corr(ens, perms, rmsd_thr=0.3)
+    np.testing.assert_array_equal(got, want)
+    # rotamer copies must be pruned, the genuinely different structure kept
+    assert got.tolist() == [True, False, False, False, True]
+
+    # plain RMSD prune must NOT consider rotamer copies duplicates
+    plain = prune_by_rmsd(ens, rmsd_thr=0.3, block=2)
+    assert plain.sum() > got.sum()
+
+
+def test_prune_trivial_sizes():
+    ens = np.zeros((1, 5, 3))
+    assert prune_by_rmsd(ens).tolist() == [True]
+    ens0 = np.zeros((0, 5, 3))
+    assert prune_by_rmsd(ens0).tolist() == []
