@@ -1,0 +1,102 @@
+"""North-star benchmark: full similarity-prune cascade wall-clock.
+
+Generates a synthetic conformer ensemble of a 50-atom alkane on device
+(random rigid rotations + coordinate jitter of clustered duplicates), then
+times the full device cascade: MOI prune -> greedy QCP-RMSD prune (with
+max-deviation criterion) -> rotamer-corrected RMSD on <=1e3 survivors.
+
+Baseline target (BASELINE.md): 100k conformers through the cascade in < 10 s
+on TPU. Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 10/seconds}
+
+The timed pass is the second (steady-state) run; the first pass pays
+compilation. Set FIRECODE_BENCH_CONFS to change the ensemble size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def make_ensemble(n_confs: int, seed: int = 0):
+    """Clustered synthetic ensemble: n_confs/4 distinct geometries x4 copies
+    (jittered + rigidly moved), shuffled — so the prune does real work."""
+    import jax
+    import jax.numpy as jnp
+
+    from firecode_tpu.sample_molecules import build_alkane
+
+    atomnos, base = build_alkane(16)  # 50 atoms
+    n_distinct = max(n_confs // 4, 1)
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    base = jnp.asarray(base, dtype=jnp.float32)
+    n_atoms = base.shape[0]
+
+    # distinct geometries: heavy jitter; duplicates: tiny jitter on top
+    distinct = base[None] + 0.35 * jax.random.normal(k1, (n_distinct, n_atoms, 3), jnp.float32)
+    reps = jnp.repeat(distinct, 4, axis=0)[:n_confs]
+    reps = reps + 0.02 * jax.random.normal(k2, reps.shape, jnp.float32)
+
+    # random rigid rotation + translation per conformer
+    quat = jax.random.normal(k3, (n_confs, 4), jnp.float32)
+    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    from firecode_tpu.ops.algebra import quaternion_to_matrix
+
+    rot = quaternion_to_matrix(quat)
+    shift = 10.0 * jax.random.normal(k4, (n_confs, 1, 3), jnp.float32)
+    coords = jnp.einsum("bxy,bny->bnx", rot, reps) + shift
+
+    perm = jax.random.permutation(k1, n_confs)
+    return atomnos, np.asarray(coords[perm])
+
+
+def run_cascade(coords: np.ndarray, atomnos: np.ndarray, block: int) -> tuple[int, float]:
+    from firecode_tpu.prune import prune_by_moi, prune_by_rmsd, prune_by_rmsd_rot_corr
+
+    t0 = time.perf_counter()
+    keep = prune_by_moi(coords, atomnos, block=block)
+    coords = coords[keep]
+    keep = prune_by_rmsd(coords, atomnos, rmsd_thr=0.5, block=block)
+    coords = coords[keep]
+    if len(coords) <= 1000:
+        keep = prune_by_rmsd_rot_corr(coords, atomnos, rmsd_thr=0.5, block=min(block, 256))
+        coords = coords[keep]
+    elapsed = time.perf_counter() - t0
+    return len(coords), elapsed
+
+
+def main() -> None:
+    n_confs = int(os.environ.get("FIRECODE_BENCH_CONFS", "100000"))
+    block = int(os.environ.get("FIRECODE_BENCH_BLOCK", "1024"))
+    block = min(block, max(n_confs // 2, 2))
+
+    atomnos, coords = make_ensemble(n_confs)
+
+    # pass 1: compile; pass 2: steady-state timing
+    n_kept, _ = run_cascade(coords, atomnos, block)
+    n_kept2, elapsed = run_cascade(coords, atomnos, block)
+    assert n_kept == n_kept2
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{n_confs}-conformer MOI+RMSD(+rot-corr) prune cascade wall-clock",
+                "value": round(elapsed, 3),
+                "unit": "s",
+                "vs_baseline": round(10.0 / elapsed, 2),
+                "n_kept": n_kept,
+                "n_confs": n_confs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""LiteFF: a batched classical force field in pure JAX.
+
+The framework's first-class native calculator (reference capability: the
+external xtb/tblite binaries, SURVEY.md section 2.2 — those remain available
+through the host escape hatch in firecode_tpu.calculators.xtb_io). LiteFF is
+deliberately simple — harmonic bonds/cosine angles/periodic torsions +
+UFF-style Lennard-Jones — but it is a *real* potential energy surface:
+smooth, autodiff-exact forces/Hessians, and good enough to drive embedding
+refinement, clash relaxation, NEB band smoothing, and the optimizer/thermo
+machinery end-to-end on TPU at full ensemble batch.
+
+Topology (bond/angle/torsion index arrays, LJ tables, exclusion scales) is
+perceived once on host from one conformer and lowered to padded device arrays;
+the energy function itself is pure jnp and vmaps over conformers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from firecode_tpu.calculators.base import Calculator
+from firecode_tpu.graphs import graphize
+from firecode_tpu.ops.algebra import dihedral
+from firecode_tpu.pt import COVALENT_RADII, MAX_Z
+
+# UFF nonbonded parameters: x = LJ minimum distance (A), d = well depth
+# (kcal/mol). Z-indexed with a generic fallback for uncommon elements.
+_UFF_X_D: dict[int, tuple[float, float]] = {
+    1: (2.886, 0.044),
+    5: (4.083, 0.180),
+    6: (3.851, 0.105),
+    7: (3.660, 0.069),
+    8: (3.500, 0.060),
+    9: (3.364, 0.050),
+    11: (2.983, 0.030),
+    14: (4.295, 0.402),
+    15: (4.147, 0.305),
+    16: (4.035, 0.274),
+    17: (3.947, 0.227),
+    19: (3.812, 0.035),
+    35: (4.189, 0.251),
+    53: (4.500, 0.339),
+}
+_FALLBACK_X_D = (4.0, 0.10)
+
+UFF_X = np.array([_UFF_X_D.get(z, _FALLBACK_X_D)[0] for z in range(MAX_Z + 1)])
+UFF_D = np.array([_UFF_X_D.get(z, _FALLBACK_X_D)[1] for z in range(MAX_Z + 1)])
+
+BOND_K = 600.0  # kcal/mol/A^2
+ANGLE_K = 80.0  # kcal/mol (cosine-harmonic)
+TORSION_V = 1.5  # kcal/mol barrier
+
+
+class FFTopology(NamedTuple):
+    bonds: jnp.ndarray  # i32[B, 2]
+    bond_r0: jnp.ndarray  # f[B]
+    bond_k: jnp.ndarray  # f[B] (0 = padding)
+    angles: jnp.ndarray  # i32[A, 3] (i-center-j)
+    angle_cos0: jnp.ndarray  # f[A]
+    angle_k: jnp.ndarray  # f[A]
+    torsions: jnp.ndarray  # i32[T, 4]
+    torsion_n: jnp.ndarray  # f[T] periodicity
+    torsion_v: jnp.ndarray  # f[T] (0 = padding)
+    torsion_sign: jnp.ndarray  # f[T] (+1: minima staggered, -1: minima planar)
+    nb_scale: jnp.ndarray  # f[N, N] 0 for 1-2/1-3/self, 0.5 for 1-4, 1 else
+    lj_x: jnp.ndarray  # f[N, N] pair minimum distance
+    lj_d: jnp.ndarray  # f[N, N] pair well depth
+
+
+def _ideal_cos0(el: str, degree: int) -> float:
+    if degree == 2 and el in ("O", "S", "Se"):
+        return float(np.cos(np.radians(104.5)))
+    if degree == 2 and el not in ("C", "N"):
+        return float(np.cos(np.radians(109.47)))
+    if degree >= 4:
+        return float(np.cos(np.radians(109.47)))
+    if degree == 3:
+        if el == "N":
+            return float(np.cos(np.radians(107.0)))
+        return float(np.cos(np.radians(120.0)))
+    if degree == 2:
+        # sp carbon / nitrile nitrogen: linear
+        return -1.0
+    return float(np.cos(np.radians(109.47)))
+
+
+def build_ff_topology(
+    atomnos: np.ndarray,
+    coords: np.ndarray,
+    extra_bonds: list[tuple[int, int]] | None = None,
+) -> FFTopology:
+    """Perceive bonded topology from one conformer and build device tables."""
+    atomnos = np.asarray(atomnos)
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(atomnos)
+    graph = graphize(atomnos, coords)
+    if extra_bonds:
+        for a, b in extra_bonds:
+            graph.add_edge(int(a), int(b))
+
+    bonds = sorted(tuple(sorted(e)) for e in graph.edges)
+    bond_r0 = [
+        COVALENT_RADII[atomnos[i]] + COVALENT_RADII[atomnos[j]] for i, j in bonds
+    ]
+
+    angles, angle_cos0 = [], []
+    for c in graph.nodes:
+        nbrs = sorted(graph.neighbors(c))
+        deg = len(nbrs)
+        for a_i in range(deg):
+            for b_i in range(a_i + 1, deg):
+                angles.append((nbrs[a_i], c, nbrs[b_i]))
+                angle_cos0.append(_ideal_cos0(graph.nodes[c]["atoms"], deg))
+
+    torsions, tor_n, tor_sign = [], [], []
+    for j, k in graph.edges:
+        j_nb = [x for x in graph.neighbors(j) if x != k]
+        k_nb = [x for x in graph.neighbors(k) if x != j]
+        if not j_nb or not k_nb:
+            continue
+        deg_j, deg_k = len(j_nb) + 1, len(k_nb) + 1
+        sp3_j, sp3_k = deg_j >= 4, deg_k >= 4
+        if sp3_j or sp3_k:
+            n_per, sign = 3.0, 1.0  # staggered minima
+        else:
+            n_per, sign = 2.0, -1.0  # planar minima (conjugation-like)
+        for i in j_nb:
+            for l in k_nb:
+                torsions.append((i, j, k, l))
+                tor_n.append(n_per)
+                tor_sign.append(sign)
+
+    # nonbonded scale matrix
+    scale = np.ones((n, n))
+    np.fill_diagonal(scale, 0.0)
+    sp = dict(nx_all_pairs_shortest_path_length(graph, cutoff=3))
+    for i, dists in sp.items():
+        for j, d in dists.items():
+            if i == j:
+                continue
+            if d <= 2:
+                scale[i, j] = 0.0
+            elif d == 3:
+                scale[i, j] = 0.5
+
+    x = UFF_X[atomnos]
+    d = UFF_D[atomnos]
+    lj_x = np.sqrt(x[:, None] * x[None, :])
+    lj_d = np.sqrt(d[:, None] * d[None, :])
+
+    def arr(a, dtype=np.float64):
+        return jnp.asarray(np.asarray(a, dtype=dtype))
+
+    n_b = len(bonds)
+    n_a = len(angles)
+    n_t = len(torsions)
+    return FFTopology(
+        bonds=arr(_pad_idx(bonds, n_b, 2), np.int32),
+        bond_r0=arr(_pad_val(bond_r0, n_b)),
+        bond_k=arr(_pad_val([BOND_K] * len(bonds), n_b)),
+        angles=arr(_pad_idx(angles, n_a, 3), np.int32),
+        angle_cos0=arr(_pad_val(angle_cos0, n_a)),
+        angle_k=arr(_pad_val([ANGLE_K] * len(angles), n_a)),
+        torsions=arr(_pad_idx(torsions, n_t, 4), np.int32),
+        torsion_n=arr(_pad_val(tor_n, n_t, fill=1.0)),
+        torsion_v=arr(_pad_val([TORSION_V] * len(torsions), n_t)),
+        torsion_sign=arr(_pad_val(tor_sign, n_t, fill=1.0)),
+        nb_scale=arr(scale),
+        lj_x=arr(lj_x),
+        lj_d=arr(lj_d),
+    )
+
+
+def nx_all_pairs_shortest_path_length(graph, cutoff):
+    import networkx as nx
+
+    return nx.all_pairs_shortest_path_length(graph, cutoff=cutoff)
+
+
+def _pad_idx(items, n, width):
+    out = np.zeros((n, width), dtype=np.int32)
+    for k, it in enumerate(items):
+        out[k] = it
+    return out
+
+
+def _pad_val(vals, n, fill=0.0):
+    out = np.full(n, fill, dtype=np.float64)
+    out[: len(vals)] = vals
+    return out
+
+
+def ff_energy(coords: jnp.ndarray, top: FFTopology) -> jnp.ndarray:
+    """Total LiteFF energy of one structure (kcal/mol). Pure; autodiff-safe."""
+    e = jnp.asarray(0.0, dtype=coords.dtype)
+
+    if top.bonds.shape[0]:
+        bi = coords[top.bonds[:, 0]]
+        bj = coords[top.bonds[:, 1]]
+        r = jnp.sqrt(jnp.sum((bi - bj) ** 2, axis=-1) + 1e-12)
+        e = e + jnp.sum(0.5 * top.bond_k * (r - top.bond_r0) ** 2)
+
+    if top.angles.shape[0]:
+        # cosine-harmonic: smooth at linearity
+        ai = coords[top.angles[:, 0]]
+        ac = coords[top.angles[:, 1]]
+        aj = coords[top.angles[:, 2]]
+        v1 = ai - ac
+        v2 = aj - ac
+        cos = jnp.sum(v1 * v2, axis=-1) / jnp.sqrt(
+            jnp.sum(v1 * v1, axis=-1) * jnp.sum(v2 * v2, axis=-1) + 1e-12
+        )
+        e = e + jnp.sum(top.angle_k * (cos - top.angle_cos0) ** 2)
+
+    if top.torsions.shape[0]:
+        # V/2 (1 + sign * cos(n phi))
+        pts = coords[top.torsions]  # [T, 4, 3]
+        phi = jnp.radians(dihedral(pts))
+        e = e + jnp.sum(
+            0.5 * top.torsion_v * (1.0 + top.torsion_sign * jnp.cos(top.torsion_n * phi))
+        )
+
+    # LJ nonbonded (UFF form), scaled exclusions, symmetric matrix halved.
+    # Excluded pairs get a safe distance so 0 * inf never reaches the grad.
+    diff = coords[:, None, :] - coords[None, :, :]
+    r2 = jnp.sum(diff * diff, axis=-1)
+    active = top.nb_scale > 0
+    r2_safe = jnp.where(active, r2, 1.0) + 1e-12
+    x2 = top.lj_x * top.lj_x
+    s6 = (x2 / r2_safe) ** 3
+    e_pair = top.lj_d * (s6 * s6 - 2.0 * s6) * top.nb_scale
+    e = e + 0.5 * jnp.sum(jnp.where(active, e_pair, 0.0))
+
+    return e
+
+
+class LiteFF(Calculator):
+    """Calculator facade over ff_energy with a fixed topology."""
+
+    def __init__(self, atomnos: np.ndarray, coords: np.ndarray, extra_bonds=None):
+        self.topology = build_ff_topology(atomnos, coords, extra_bonds)
+        top = self.topology
+        super().__init__(lambda c: ff_energy(c, top), name="liteff")

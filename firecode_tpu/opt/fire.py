@@ -1,0 +1,159 @@
+"""Batched FIRE optimizer with per-lane ragged convergence.
+
+Replaces the reference's per-structure ASE LBFGS/FIRE loops dispatched over a
+process pool (firecode/embedder.py:2085-2242): here the whole ensemble is one
+jitted while_loop — converged lanes freeze via masks, every live lane shares
+the same compiled step, and the calculator evaluates all conformers at once.
+FIRE needs no line search or history, which makes it the natural vmap choice
+(SURVEY.md section 7, stage 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from firecode_tpu.calculators.base import Calculator
+
+
+class OptResult(NamedTuple):
+    coords: jnp.ndarray  # f[B, N, 3]
+    energy: jnp.ndarray  # f[B]
+    fmax: jnp.ndarray  # f[B] residual max force component norm
+    converged: jnp.ndarray  # bool[B]
+    n_steps: jnp.ndarray  # i32 total steps taken
+
+
+class _FireState(NamedTuple):
+    coords: jnp.ndarray
+    v: jnp.ndarray
+    dt: jnp.ndarray  # f[B]
+    alpha: jnp.ndarray  # f[B]
+    n_pos: jnp.ndarray  # i32[B]
+    converged: jnp.ndarray  # bool[B]
+    step: jnp.ndarray  # i32
+
+
+_DT_START = 0.02
+_DT_MAX = 0.1
+_F_INC = 1.1
+_F_DEC = 0.5
+_ALPHA0 = 0.25
+_F_ALPHA = 0.99
+_N_MIN = 5
+_MAXSTEP = 0.2  # max per-atom displacement per step, Angstrom
+
+
+def _fire_step(energy_and_forces, move_mask, fmax_thr, state: _FireState) -> _FireState:
+    coords, v = state.coords, state.v
+    _, f = energy_and_forces(coords)
+    f = f * move_mask[..., None]
+
+    # convergence is judged at the CURRENT coords, before moving, so lanes
+    # freeze exactly at the first geometry that satisfies fmax
+    per_atom_f = jnp.sqrt(jnp.sum(f * f, axis=-1))
+    fmax_now = jnp.max(per_atom_f, axis=-1)
+    converged = state.converged | (fmax_now < fmax_thr)
+
+    f_norm = jnp.sqrt(jnp.sum(f * f, axis=(-2, -1), keepdims=True)) + 1e-12
+    v_norm = jnp.sqrt(jnp.sum(v * v, axis=(-2, -1), keepdims=True))
+    power = jnp.sum(f * v, axis=(-2, -1))  # [B]
+
+    uphill = power <= 0.0
+    n_pos = jnp.where(uphill, 0, state.n_pos + 1)
+    grow = (~uphill) & (n_pos > _N_MIN)
+    dt = jnp.where(grow, jnp.minimum(state.dt * _F_INC, _DT_MAX), state.dt)
+    dt = jnp.where(uphill, state.dt * _F_DEC, dt)
+    alpha = jnp.where(grow, state.alpha * _F_ALPHA, state.alpha)
+    alpha = jnp.where(uphill, _ALPHA0, alpha)
+
+    v = jnp.where(uphill[:, None, None], 0.0, v)
+    a = alpha[:, None, None]
+    v = (1.0 - a) * v + a * v_norm * f / f_norm
+    v = v + dt[:, None, None] * f
+
+    dx = dt[:, None, None] * v
+    # per-atom step clipping
+    step_len = jnp.sqrt(jnp.sum(dx * dx, axis=-1, keepdims=True)) + 1e-12
+    dx = dx * jnp.minimum(1.0, _MAXSTEP / step_len)
+
+    live = ~converged
+    coords = coords + dx * live[:, None, None]
+    v = v * live[:, None, None]
+
+    return _FireState(coords, v, dt, alpha, n_pos, converged, state.step + 1)
+
+
+@partial(jax.jit, static_argnames=("calc", "max_steps"))
+def _optimize_batch_jit(coords, move_mask, fmax_thr, calc: Calculator, max_steps: int):
+    b = coords.shape[0]
+    state = _FireState(
+        coords=coords,
+        v=jnp.zeros_like(coords),
+        dt=jnp.full((b,), _DT_START, dtype=coords.dtype),
+        alpha=jnp.full((b,), _ALPHA0, dtype=coords.dtype),
+        n_pos=jnp.zeros((b,), dtype=jnp.int32),
+        converged=jnp.zeros((b,), dtype=bool),
+        step=jnp.asarray(0, dtype=jnp.int32),
+    )
+
+    step_fn = partial(_fire_step, calc.energy_and_forces, move_mask, fmax_thr)
+
+    def cond(s: _FireState):
+        return (s.step < max_steps) & ~jnp.all(s.converged)
+
+    state = lax.while_loop(cond, lambda s: step_fn(s), state)
+
+    e, f = calc.energy_and_forces(state.coords)
+    f = f * move_mask[..., None]
+    fmax_res = jnp.max(jnp.sqrt(jnp.sum(f * f, axis=-1)), axis=-1)
+    return OptResult(
+        coords=state.coords,
+        energy=e,
+        fmax=fmax_res,
+        converged=state.converged | (fmax_res < fmax_thr),
+        n_steps=state.step,
+    )
+
+
+# (calc, constraints) -> composed calculator, so repeated optimize_batch
+# calls with the same objects reuse one jit cache entry
+_COMPOSED: dict = {}
+
+
+def optimize_batch(
+    calc: Calculator,
+    coords,
+    constraints=None,
+    fmax: float = 0.05,
+    max_steps: int = 1000,
+) -> OptResult:
+    """FIRE-relax a conformer batch [B, N, 3] on the given calculator.
+
+    constraints: optional firecode_tpu.opt.constraints.Constraints — penalty
+    terms are added to the energy and frozen atoms masked out of the update.
+    fmax in kcal/mol/A (max per-atom force norm).
+    """
+    coords = jnp.asarray(coords)
+    squeeze = coords.ndim == 2
+    if squeeze:
+        coords = coords[None]
+    n = coords.shape[-2]
+    if constraints is not None:
+        key = (id(calc), id(constraints))
+        if key not in _COMPOSED:
+            _COMPOSED[key] = calc.with_extra(constraints.energy_fn())
+        calc = _COMPOSED[key]
+        move = jnp.asarray(constraints.move_mask(n))
+    else:
+        move = jnp.ones((n,), dtype=bool)
+    res = _optimize_batch_jit(
+        coords, move, jnp.asarray(fmax, coords.dtype), calc, max_steps
+    )
+    if squeeze:
+        res = OptResult(res.coords[0], res.energy[0], res.fmax[0], res.converged[0], res.n_steps)
+    return res

@@ -1,0 +1,105 @@
+import numpy as np
+import jax.numpy as jnp
+
+from firecode_tpu.calculators import LiteFF
+from firecode_tpu.opt import Constraints, optimize_batch
+
+WATER_Z = np.array([8, 1, 1], dtype=np.int32)
+WATER = np.array(
+    [
+        [0.0, 0.0, 0.0],
+        [0.97, 0.0, 0.0],
+        [-0.25, 0.94, 0.0],
+    ]
+)
+
+ETHANE_Z = np.array([6, 6, 1, 1, 1, 1, 1, 1], dtype=np.int32)
+
+
+def _ethane():
+    c1 = np.zeros(3)
+    c2 = np.array([1.54, 0.0, 0.0])
+    hs1, hs2 = [], []
+    for k in range(3):
+        ang = 2 * np.pi * k / 3
+        hs1.append(c1 + np.array([-0.36, np.cos(ang), np.sin(ang)]) * 1.0)
+        hs2.append(c2 + np.array([0.36, np.cos(ang + np.pi / 3), np.sin(ang + np.pi / 3)]))
+    return np.stack([c1, c2, *hs1, *hs2])
+
+
+def test_ff_forces_match_finite_difference(rng):
+    calc = LiteFF(WATER_Z, WATER)
+    coords = WATER + rng.normal(scale=0.05, size=WATER.shape)
+    e0, f = calc.energy_and_forces(jnp.asarray(coords))
+    f = np.asarray(f)
+    eps = 1e-6
+    for a in range(3):
+        for x in range(3):
+            cp = coords.copy()
+            cp[a, x] += eps
+            cm = coords.copy()
+            cm[a, x] -= eps
+            fd = -(float(calc.energy(jnp.asarray(cp))) - float(calc.energy(jnp.asarray(cm)))) / (
+                2 * eps
+            )
+            assert abs(fd - f[a, x]) < 1e-4, (a, x, fd, f[a, x])
+
+
+def test_optimize_water_geometry(rng):
+    calc = LiteFF(WATER_Z, WATER)
+    distorted = WATER + rng.normal(scale=0.08, size=WATER.shape)
+    res = optimize_batch(calc, distorted, fmax=0.01, max_steps=2000)
+    assert bool(res.converged)
+    out = np.asarray(res.coords)
+    d_oh1 = np.linalg.norm(out[0] - out[1])
+    d_oh2 = np.linalg.norm(out[0] - out[2])
+    # LiteFF equilibrium O-H = r_O + r_H = 0.97
+    assert abs(d_oh1 - 0.97) < 0.02
+    assert abs(d_oh2 - 0.97) < 0.02
+
+
+def test_optimize_batch_ragged_convergence(rng):
+    calc = LiteFF(WATER_Z, WATER)
+    batch = np.stack([WATER + rng.normal(scale=s, size=WATER.shape) for s in (0.01, 0.05, 0.1, 0.2)])
+    res = optimize_batch(calc, batch, fmax=0.02, max_steps=3000)
+    assert bool(np.all(np.asarray(res.converged)))
+    assert np.all(np.asarray(res.fmax) < 0.02)
+    # all lanes should land on the same minimum energy
+    e = np.asarray(res.energy)
+    assert np.ptp(e) < 1e-3
+
+
+def test_distance_constraint(rng):
+    calc = LiteFF(WATER_Z, WATER)
+    cons = Constraints().add_distance(0, 1, 1.3, k=500.0)
+    res = optimize_batch(calc, WATER, constraints=cons, fmax=0.02, max_steps=3000)
+    out = np.asarray(res.coords)
+    d = np.linalg.norm(out[0] - out[1])
+    # spring vs FF bond: lands between, close to target for stiff spring
+    assert 1.1 < d < 1.32
+    # the unconstrained O-H keeps its equilibrium length
+    assert abs(np.linalg.norm(out[0] - out[2]) - 0.97) < 0.02
+
+
+def test_frozen_atoms(rng):
+    calc = LiteFF(WATER_Z, WATER)
+    distorted = WATER + rng.normal(scale=0.05, size=WATER.shape)
+    cons = Constraints().freeze_atoms([0, 1])
+    res = optimize_batch(calc, distorted, constraints=cons, fmax=0.02, max_steps=2000)
+    out = np.asarray(res.coords)
+    np.testing.assert_allclose(out[:2], distorted[:2], atol=1e-10)
+    assert not np.allclose(out[2], distorted[2])
+
+
+def test_ethane_torsion_relaxes_to_staggered(rng):
+    z = ETHANE_Z
+    coords = _ethane()
+    calc = LiteFF(z, coords)
+    res = optimize_batch(calc, coords, fmax=0.01, max_steps=3000)
+    out = np.asarray(res.coords)
+    from firecode_tpu.ops.torsion_ops import measure_dihedrals
+
+    phi = float(measure_dihedrals(jnp.asarray(out), jnp.asarray([[2, 0, 1, 5]]))[0])
+    # staggered: +-60 or 180
+    dist_to_staggered = min(abs(abs(phi) - 60.0), abs(abs(phi) - 180.0))
+    assert dist_to_staggered < 5.0, phi
