@@ -1,0 +1,60 @@
+"""Calculator dispatch by name.
+
+Replaces the reference's Dispatcher (firecode/dispatcher.py:38-342): instead
+of mapping names to ASE calculator objects + per-structure opt functions, a
+name maps to a *batched* Calculator factory. The native LITEFF calculator runs
+fully on device; XTB is a host escape hatch around the external `xtb` binary
+(subprocess per structure, used for parity checking when the binary exists —
+reference firecode/calculators/xtb.py).
+"""
+
+from __future__ import annotations
+
+from shutil import which
+
+import numpy as np
+
+from firecode_tpu.calculators.base import Calculator
+from firecode_tpu.calculators.forcefield import LiteFF
+from firecode_tpu.errors import MissingExternalError
+
+KNOWN_CALCULATORS = ("LITEFF", "XTB", "TBLITE", "ORCA", "AIMNET2", "UMA")
+
+
+class Dispatcher:
+    def __init__(self, calculator: str) -> None:
+        calculator = calculator.upper()
+        if calculator not in KNOWN_CALCULATORS:
+            raise SyntaxError(
+                f"'{calculator}' is not a recognized calculator "
+                f"(known: {', '.join(KNOWN_CALCULATORS)}). Use the CALC keyword "
+                "or FIRECODE_TPU_CALCULATOR."
+            )
+        self.calculator = calculator
+
+    def get_batch_calc(
+        self,
+        atomnos: np.ndarray,
+        coords: np.ndarray,
+        graph=None,
+        charge: int = 0,
+        solvent: str | None = None,
+    ) -> Calculator:
+        """Build a batched calculator for the given system."""
+        if self.calculator == "LITEFF":
+            return LiteFF(atomnos, coords, graph=graph)
+        if self.calculator == "XTB":
+            from firecode_tpu.calculators.xtb_io import XTBHostCalculator
+
+            return XTBHostCalculator(atomnos, charge=charge, solvent=solvent)
+        raise MissingExternalError(
+            f"Calculator {self.calculator} requires an external engine that is "
+            "not available in this environment. LITEFF (native) and XTB "
+            "(external binary) are supported."
+        )
+
+
+def xtb_available() -> bool:
+    import os
+
+    return which(os.environ.get("FIRECODE_TPU_XTB_PATH", "xtb")) is not None

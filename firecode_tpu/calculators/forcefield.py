@@ -91,12 +91,21 @@ def build_ff_topology(
     atomnos: np.ndarray,
     coords: np.ndarray,
     extra_bonds: list[tuple[int, int]] | None = None,
+    graph=None,
 ) -> FFTopology:
-    """Perceive bonded topology from one conformer and build device tables."""
+    """Perceive bonded topology from one conformer and build device tables.
+
+    Pass `graph` to use a precomputed bond graph (e.g. the disjoint union of
+    per-molecule graphs in a multi-molecular embed, so inter-fragment contacts
+    stay nonbonded).
+    """
     atomnos = np.asarray(atomnos)
     coords = np.asarray(coords, dtype=np.float64)
     n = len(atomnos)
-    graph = graphize(atomnos, coords)
+    if graph is None:
+        graph = graphize(atomnos, coords)
+    else:
+        graph = graph.copy()
     if extra_bonds:
         for a, b in extra_bonds:
             graph.add_edge(int(a), int(b))
@@ -240,7 +249,7 @@ def ff_energy(coords: jnp.ndarray, top: FFTopology) -> jnp.ndarray:
 class LiteFF(Calculator):
     """Calculator facade over ff_energy with a fixed topology."""
 
-    def __init__(self, atomnos: np.ndarray, coords: np.ndarray, extra_bonds=None):
-        self.topology = build_ff_topology(atomnos, coords, extra_bonds)
+    def __init__(self, atomnos: np.ndarray, coords: np.ndarray, extra_bonds=None, graph=None):
+        self.topology = build_ff_topology(atomnos, coords, extra_bonds, graph=graph)
         top = self.topology
         super().__init__(lambda c: ff_energy(c, top), name="liteff")

@@ -1,0 +1,445 @@
+"""Workflow operators ("verbs" applied to molecule files before the embed).
+
+Capability parity with the reference dispatcher (firecode/operators.py:62-131)
+and the operator plugin contract (reference paper.md:86-112): each operator is
+f(filename, embedder) -> outname; `operate` dispatches on the operator name.
+
+Native operators (csearch/opt/neb/scan/saddle/freq/pka) run on the batched
+device engines. External-engine operators (crest/mtd, goat, packmol) call the
+host interfaces in firecode_tpu.interfaces and raise MissingExternalError with
+an actionable message when the binary is not installed.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+from firecode_tpu.errors import InputError, MissingExternalError
+from firecode_tpu.io.xyz import write_xyz
+
+
+def operate(filename: str, operator: str, embedder) -> str | None:
+    """Dispatch an operator string like 'csearch' or 'scan(5.0)'."""
+    op_name = operator.split("(")[0].strip().lower()
+    table = {
+        "csearch": csearch_operator,
+        "csearch_hb": csearch_hb_operator,
+        "confab": csearch_operator,
+        "opt": opt_operator,
+        "refine": refine_operator,
+        "neb": neb_operator,
+        "scan": scan_operator,
+        "saddle": saddle_operator,
+        "freq": freq_operator,
+        "pka": pka_operator,
+        "mtd": crest_operator,
+        "crest": crest_operator,
+        "mtd_search": crest_operator,
+        "goat": goat_operator,
+        "packmol": packmol_operator,
+        "equilibrate": equilibrate_operator,
+        "rsearch": rsearch_operator,
+    }
+    func = table.get(op_name)
+    if func is None:
+        raise InputError(
+            f"Operator '{op_name}' not recognized. Known: {sorted(table)}"
+        )
+    t0 = time.perf_counter()
+    embedder.log(f"--> Running {op_name}> operator on {filename}")
+    out = func(filename, embedder)
+    embedder.log(
+        f"--> {op_name}> operator on {filename} completed "
+        f"({time.perf_counter() - t0:.1f} s)\n"
+    )
+    return out
+
+
+def _mol_for(filename: str, embedder):
+    for mol in embedder.objects:
+        if mol.filename == filename:
+            return mol
+    raise InputError(f"Molecule {filename} not found among input files")
+
+
+def _internal_constraints_for(filename: str, embedder) -> list[tuple[int, int]]:
+    mol_id = next(
+        i for i, mol in enumerate(embedder.objects) if mol.filename == filename
+    )
+    out = []
+    for _, tgt in embedder.pairings_dict[mol_id].items():
+        if isinstance(tgt, tuple):
+            out.append(tgt)
+    return out
+
+
+def _get_calc(embedder, mol):
+    return embedder.dispatcher.get_batch_calc(
+        mol.atomnos, mol.coords[0], graph=mol.graph, charge=mol.charge,
+        solvent=embedder.options.solvent,
+    )
+
+
+def _constraints_object(mol, pairs, embedder, spring_k: float = 500.0):
+    from firecode_tpu.opt import Constraints
+
+    cons = Constraints()
+    for i1, i2 in pairs:
+        d = float(np.linalg.norm(mol.coords[0][i1] - mol.coords[0][i2]))
+        cons.add_distance(int(i1), int(i2), d, k=spring_k)
+    for c in mol.constraints:
+        if c.type_ == "B":
+            cons.add_distance(c.indices[0], c.indices[1], c.value, k=spring_k)
+        elif c.type_ == "A":
+            cons.add_angle(*c.indices, c.value)
+        else:
+            cons.add_dihedral(c.indices, c.value)
+    return cons if (pairs or mol.constraints) else None
+
+
+# ------------------------------------------------------------ native ops
+
+
+def csearch_operator(filename: str, embedder, keep_hb: bool = False) -> str:
+    """Torsion-driven conformational search (firecode/operators.py:134-192)."""
+    from firecode_tpu.csearch import csearch
+
+    mol = _mol_for(filename, embedder)
+    constrained = _internal_constraints_for(filename, embedder)
+    confs = csearch(
+        mol.atomnos,
+        mol.coords[0],
+        constrained_indices=constrained,
+        keep_hb=keep_hb or embedder.options.keep_hb,
+        n_out=embedder.options.max_confs,
+        logfunction=lambda s: embedder.log(s, p=False),
+    )
+
+    if embedder.options.ff_opt and embedder.options.optimization:
+        calc = _get_calc(embedder, mol)
+        cons = _constraints_object(mol, constrained, embedder)
+        from firecode_tpu.opt import optimize_batch
+
+        res = optimize_batch(calc, confs, constraints=cons, fmax=0.05, max_steps=1500)
+        confs = np.asarray(res.coords, dtype=np.float64)
+        energies = np.asarray(res.energy, dtype=np.float64)
+        order = np.argsort(energies)
+        confs, energies = confs[order], energies[order]
+        from firecode_tpu.prune import prune_by_rmsd
+
+        keep = prune_by_rmsd(confs, mol.atomnos, rmsd_thr=embedder.options.rmsd,
+                             energies=energies)
+        confs, energies = confs[keep], energies[keep]
+    else:
+        energies = None
+
+    outname = f"{Path(filename).stem}_confs.xyz"
+    write_xyz(outname, mol.atoms, confs, energies=None, title=Path(filename).stem)
+    embedder.log(f"    Wrote {len(confs)} conformers to {outname}")
+    return outname
+
+
+def csearch_hb_operator(filename: str, embedder) -> str:
+    return csearch_operator(filename, embedder, keep_hb=True)
+
+
+def rsearch_operator(filename: str, embedder) -> str:
+    """Random-mode torsion search."""
+    from firecode_tpu.csearch import csearch
+
+    mol = _mol_for(filename, embedder)
+    confs = csearch(
+        mol.atomnos, mol.coords[0], mode=2, n_out=embedder.options.max_confs,
+        constrained_indices=_internal_constraints_for(filename, embedder),
+        logfunction=lambda s: embedder.log(s, p=False),
+    )
+    outname = f"{Path(filename).stem}_confs.xyz"
+    write_xyz(outname, mol.atoms, confs)
+    return outname
+
+
+def opt_operator(filename: str, embedder) -> str:
+    """Batched ensemble refinement (firecode/operators.py:195-267)."""
+    from firecode_tpu.opt import optimize_batch
+    from firecode_tpu.prune import prune_by_rmsd
+
+    mol = _mol_for(filename, embedder)
+    calc = _get_calc(embedder, mol)
+    pairs = _internal_constraints_for(filename, embedder)
+    cons = _constraints_object(mol, pairs, embedder)
+
+    res = optimize_batch(calc, mol.coords, constraints=cons, fmax=0.05, max_steps=2000)
+    coords = np.asarray(res.coords, dtype=np.float64)
+    energies = np.asarray(res.energy, dtype=np.float64)
+    converged = np.asarray(res.converged)
+    coords, energies = coords[converged], energies[converged]
+    order = np.argsort(energies)
+    coords, energies = coords[order], energies[order]
+
+    rel = energies - energies.min() if len(energies) else energies
+    keep_e = rel < embedder.options.kcal_thresh
+    coords, energies = coords[keep_e], energies[keep_e]
+    keep = prune_by_rmsd(coords, mol.atomnos, rmsd_thr=embedder.options.rmsd,
+                         energies=energies)
+    coords, energies = coords[keep], energies[keep]
+
+    outname = f"{Path(filename).stem}_opt.xyz"
+    write_xyz(outname, mol.atoms, coords, title=Path(filename).stem)
+    embedder.log(
+        f"    Optimized and pruned to {len(coords)} structures -> {outname}"
+    )
+    return outname
+
+
+def refine_operator(filename: str, embedder) -> None:
+    """Handled by the Embedder itself (sets structures from the molecule)."""
+    return None
+
+
+def neb_operator(filename: str, embedder) -> str:
+    """Double-ended TS search (firecode/operators.py:270-419): the input file
+    provides reagent+product (2 frames) or reagent+TS-guess+product (3)."""
+    from firecode_tpu.opt import optimize_batch
+    from firecode_tpu.opt.neb import run_neb
+
+    mol = _mol_for(filename, embedder)
+    if len(mol.coords) == 2:
+        start, end = mol.coords
+        ts_guess = None
+    elif len(mol.coords) == 3:
+        start, ts_guess, end = mol.coords
+    else:
+        raise InputError(
+            f"neb> needs 2 (reagent, product) or 3 (reagent, TS guess, product) "
+            f"structures in {filename}, found {len(mol.coords)}"
+        )
+
+    calc = _get_calc(embedder, mol)
+    neb_options = embedder.options.neb
+    n_images = neb_options.n_images if neb_options else (embedder.options.images or 7)
+
+    if neb_options is None or neb_options.preopt:
+        embedder.log("    Pre-optimizing NEB endpoints")
+        res = optimize_batch(calc, np.stack([start, end]), fmax=0.05, max_steps=2000)
+        ends = np.asarray(res.coords, dtype=np.float64)
+        start, end = ends[0], ends[1]
+
+    result = run_neb(
+        calc,
+        start,
+        end,
+        n_images=n_images,
+        ts_guess=ts_guess,
+        climbing_image=neb_options.climbing_image if neb_options else True,
+        logfunction=lambda s: embedder.log(s, p=False),
+    )
+    barrier = result.ts_energy - result.energies[0]
+    embedder.log(
+        f"    NEB {'converged' if result.converged else 'MAX ITER'}: TS is image "
+        f"{result.ts_index + 1}/{len(result.images)}, barrier = {barrier:.2f} kcal/mol"
+    )
+    mep_name = f"{Path(filename).stem}_MEP.xyz"
+    write_xyz(mep_name, mol.atoms, result.images, energies=None)
+    outname = f"{Path(filename).stem}_TS.xyz"
+    write_xyz(outname, mol.atoms, result.ts_coords)
+    return outname
+
+
+def scan_operator(filename: str, embedder) -> str:
+    """Distance (2 indices) or dihedral (4 indices) scan
+    (firecode/operators.py:644-843)."""
+    mol = _mol_for(filename, embedder)
+    pairs = _internal_constraints_for(filename, embedder)
+    if pairs and len(pairs[0]) == 2:
+        return _distance_scan(mol, pairs[0], embedder)
+    dihedrals = [c for c in mol.constraints if c.type_ == "D"]
+    if dihedrals:
+        return _dihedral_scan(mol, dihedrals[0].indices, embedder)
+    if len(mol.reactive_indices) == 2:
+        return _distance_scan(mol, tuple(mol.reactive_indices), embedder)
+    raise InputError(
+        "scan> needs a distance pair (two same-letter indices) or a dihedral "
+        "constraint line."
+    )
+
+
+def _distance_scan(mol, pair, embedder, step: float = -0.05) -> str:
+    """Approach scan along one distance with relaxation at each point."""
+    from firecode_tpu.opt import Constraints, optimize_batch
+    from firecode_tpu.pt import COVALENT_RADII
+
+    i1, i2 = (int(x) for x in pair)
+    calc = _get_calc(embedder, mol)
+    coords = mol.coords[0].copy()
+    d_start = float(np.linalg.norm(coords[i1] - coords[i2]))
+    d_min = 0.9 * float(COVALENT_RADII[mol.atomnos[i1]] + COVALENT_RADII[mol.atomnos[i2]])
+
+    distances, energies, frames = [], [], []
+    d = d_start
+    while d > d_min:
+        cons = Constraints().add_distance(i1, i2, d, k=1000.0)
+        res = optimize_batch(calc, coords, constraints=cons, fmax=0.1, max_steps=800)
+        coords = np.asarray(res.coords, dtype=np.float64)
+        distances.append(d)
+        energies.append(float(res.energy))
+        frames.append(coords.copy())
+        d += step
+
+    energies_arr = np.array(energies) - min(energies)
+    mol.scan_data = (distances, energies_arr.tolist())
+    peak = _scan_peak_index(energies_arr.tolist())
+    embedder.log(
+        f"    Scan: {len(distances)} points, peak at d = {distances[peak]:.2f} A "
+        f"({energies_arr[peak]:.2f} kcal/mol)"
+    )
+
+    outname = f"{Path(mol.filename).stem}_scan_peak.xyz"
+    write_xyz(outname, mol.atoms, frames[peak])
+    write_xyz(f"{Path(mol.filename).stem}_scan.xyz", mol.atoms, np.stack(frames))
+    _plot_scan(distances, energies_arr, Path(mol.filename).stem, "Distance (A)")
+    return outname
+
+
+def _dihedral_scan(mol, quad, embedder, n_points: int = 36) -> str:
+    from firecode_tpu.opt import Constraints, optimize_batch
+    from firecode_tpu.prune.oracle import np_dihedral
+
+    calc = _get_calc(embedder, mol)
+    coords = mol.coords[0].copy()
+    phi0 = np_dihedral(coords[list(quad)])
+    angles, energies, frames = [], [], []
+    for k in range(n_points + 1):
+        phi = phi0 + k * 360.0 / n_points
+        cons = Constraints().add_dihedral(tuple(int(x) for x in quad), phi, k=100.0)
+        res = optimize_batch(calc, coords, constraints=cons, fmax=0.1, max_steps=800)
+        coords = np.asarray(res.coords, dtype=np.float64)
+        angles.append(phi)
+        energies.append(float(res.energy))
+        frames.append(coords.copy())
+
+    energies_arr = np.array(energies) - min(energies)
+    mol.scan_data = (angles, energies_arr.tolist())
+    peak = _scan_peak_index(energies_arr.tolist())
+    outname = f"{Path(mol.filename).stem}_scan_peak.xyz"
+    write_xyz(outname, mol.atoms, frames[peak])
+    write_xyz(f"{Path(mol.filename).stem}_scan.xyz", mol.atoms, np.stack(frames))
+    _plot_scan(angles, energies_arr, Path(mol.filename).stem, "Dihedral (deg)")
+    return outname
+
+
+def _scan_peak_index(energies: list[float], max_thr: float = 50.0, min_thr: float = 0.1) -> int:
+    """Most prominent peak (firecode/utils.py:315-338)."""
+    n = len(energies)
+    peaks = [
+        i
+        for i in range(n)
+        if energies[i - 1] < energies[i] >= energies[(i + 1) % n]
+        and max_thr > energies[i] > min_thr
+    ]
+    if not peaks:
+        return int(np.argmax(energies))
+    if len(peaks) == 1:
+        return peaks[0]
+    return max(peaks, key=lambda i: energies[i])
+
+
+def _plot_scan(xs, ys, stem: str, xlabel: str) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        plt.plot(xs, ys)
+        plt.xlabel(xlabel)
+        plt.ylabel("Rel. E (kcal/mol)")
+        plt.savefig(f"{stem}_scan.svg")
+        plt.close()
+    except Exception:
+        pass
+
+
+def saddle_operator(filename: str, embedder) -> str:
+    """Saddle refinement of the (first) structure; uses the scan peak if the
+    scan> operator ran earlier (firecode/operators.py:846-946)."""
+    from firecode_tpu.opt.saddle import saddle_refine
+
+    mol = _mol_for(filename, embedder)
+    calc = _get_calc(embedder, mol)
+    result = saddle_refine(
+        calc, mol.coords[0], logfunction=lambda s: embedder.log(s, p=False)
+    )
+    embedder.log(
+        f"    Saddle {'converged' if result.converged else 'NOT converged'}: "
+        f"E = {result.energy:.3f} kcal/mol, fmax = {result.fmax:.4f}"
+    )
+    outname = f"{Path(filename).stem}_saddle.xyz"
+    write_xyz(outname, mol.atoms, result.coords)
+    return outname
+
+
+def freq_operator(filename: str, embedder) -> str:
+    """Frequencies + qRRHO report for each conformer
+    (firecode/operators.py:949-987)."""
+    from firecode_tpu.opt.hessian import (
+        cleanup_frequencies,
+        mass_weighted_frequencies,
+        batch_hessian,
+    )
+    from firecode_tpu.thermo import rrho_thermo
+    import jax.numpy as jnp
+
+    mol = _mol_for(filename, embedder)
+    calc = _get_calc(embedder, mol)
+    hessians = np.asarray(batch_hessian(calc, jnp.asarray(mol.coords)))
+    for c, h in enumerate(hessians):
+        freqs, _ = mass_weighted_frequencies(h, mol.atomnos)
+        vib, n_imag = cleanup_frequencies(freqs, mol.coords[c])
+        data = rrho_thermo(
+            vib, mol.coords[c], mol.atomnos,
+            T=embedder.options.T, P=embedder.options.P, C=embedder.options.C,
+        )
+        embedder.log(
+            f"    Conformer {c + 1}: {n_imag} imag, lowest vib "
+            f"{vib[0]:.1f} cm^-1, G_corr = {data['g_corr']:.3f} kcal/mol"
+        )
+    return filename
+
+
+def pka_operator(filename: str, embedder) -> str:
+    from firecode_tpu.driver.pka import pka_routine
+
+    pka_routine(filename, embedder)
+    return filename
+
+
+# ----------------------------------------------------- external-engine ops
+
+
+def crest_operator(filename: str, embedder) -> str:
+    from firecode_tpu.interfaces.crest import crest_mtd_search
+
+    return crest_mtd_search(filename, embedder)
+
+
+def goat_operator(filename: str, embedder) -> str:
+    from firecode_tpu.interfaces.goat import goat_search
+
+    return goat_search(filename, embedder)
+
+
+def packmol_operator(filename: str, embedder) -> str:
+    from firecode_tpu.interfaces.packmol import solvate_molecule
+
+    return solvate_molecule(filename, embedder)
+
+
+def equilibrate_operator(filename: str, embedder) -> str:
+    from firecode_tpu.md.equilibration import equilibrate
+
+    return equilibrate(filename, embedder)

@@ -193,7 +193,7 @@ def get_sum_graph(
         for a, b in g.edges:
             out.add_edge(a + pos, b + pos)
         pos += len(g.nodes)
-    if extra_edges:
+    if extra_edges is not None and len(extra_edges) > 0:
         for a, b in extra_edges:
             out.add_edge(int(a), int(b))
     out.graph["is_single_molecule"] = len(graphs) == 1

@@ -1,0 +1,98 @@
+"""Solvent name normalization + dielectric data.
+
+Capability parity with the reference's solvent tables (firecode/solvents.py:
+31-226): synonym resolution, dielectric constants for implicit-solvation
+models, and basic physical data used by thermochemistry free-volume terms.
+"""
+
+from __future__ import annotations
+
+# synonym -> canonical name
+solvent_synonyms: dict[str, str] = {
+    "ch2cl2": "dcm",
+    "dichloromethane": "dcm",
+    "methylenechloride": "dcm",
+    "chcl3": "chloroform",
+    "ch3cn": "acetonitrile",
+    "mecn": "acetonitrile",
+    "acn": "acetonitrile",
+    "meoh": "methanol",
+    "etoh": "ethanol",
+    "iproh": "2-propanol",
+    "ipa": "2-propanol",
+    "h2o": "water",
+    "dmso": "dmso",
+    "dimethylsulfoxide": "dmso",
+    "dmf": "dmf",
+    "dimethylformamide": "dmf",
+    "thf": "thf",
+    "tetrahydrofuran": "thf",
+    "et2o": "diethylether",
+    "ether": "diethylether",
+    "ccl4": "carbontetrachloride",
+    "c6h6": "benzene",
+    "phh": "benzene",
+    "phme": "toluene",
+    "tol": "toluene",
+    "hex": "hexane",
+    "n-hexane": "hexane",
+    "ace": "acetone",
+    "etoac": "ethylacetate",
+    "ea": "ethylacetate",
+}
+
+# canonical name -> dielectric constant (25 C)
+epsilon_dict: dict[str, float] = {
+    "acetone": 20.7,
+    "acetonitrile": 37.5,
+    "benzene": 2.28,
+    "carbontetrachloride": 2.24,
+    "chloroform": 4.81,
+    "dcm": 8.93,
+    "diethylether": 4.33,
+    "dmf": 36.7,
+    "dmso": 46.7,
+    "ethanol": 24.5,
+    "ethylacetate": 6.02,
+    "hexane": 1.88,
+    "methanol": 32.7,
+    "2-propanol": 17.9,
+    "thf": 7.58,
+    "toluene": 2.38,
+    "water": 78.4,
+}
+
+# canonical name -> (molar mass g/mol, density g/mL) for free-volume terms
+physical_data: dict[str, tuple[float, float]] = {
+    "acetone": (58.08, 0.791),
+    "acetonitrile": (41.05, 0.786),
+    "benzene": (78.11, 0.877),
+    "carbontetrachloride": (153.82, 1.594),
+    "chloroform": (119.38, 1.489),
+    "dcm": (84.93, 1.327),
+    "diethylether": (74.12, 0.713),
+    "dmf": (73.09, 0.944),
+    "dmso": (78.13, 1.100),
+    "ethanol": (46.07, 0.789),
+    "ethylacetate": (88.11, 0.902),
+    "hexane": (86.18, 0.659),
+    "methanol": (32.04, 0.792),
+    "2-propanol": (60.10, 0.786),
+    "thf": (72.11, 0.889),
+    "toluene": (92.14, 0.867),
+    "water": (18.02, 0.997),
+}
+
+
+def normalize_solvent(name: str | None) -> str | None:
+    if name is None:
+        return None
+    name = name.lower().strip()
+    return solvent_synonyms.get(name, name)
+
+
+def get_epsilon(name: str) -> float:
+    canonical = normalize_solvent(name)
+    if canonical not in epsilon_dict:
+        raise KeyError(f"Unknown solvent {name!r}; known: {sorted(epsilon_dict)}")
+    return epsilon_dict[canonical]

@@ -1,0 +1,112 @@
+"""Golden-input end-to-end tests: real input files through the full driver,
+asserting normal termination (SystemExit(0)) — the reference's test strategy
+(reference test_suite.py:73-84), plus output-artifact checks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from firecode_tpu.io.xyz import write_xyz
+from firecode_tpu.pt import symbols_from_atomnos
+from firecode_tpu.sample_molecules import build_alkane
+from tests.test_embed import ETHENE, ETHENE_Z, HF, HF_Z, NH3, NH3_Z
+
+
+@pytest.fixture
+def rundir(tmp_path):
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    yield tmp_path
+    os.chdir(old)
+
+
+def run_input(rundir, input_text: str, files: dict[str, tuple]) -> None:
+    """Write molecule files + input, run the Embedder, expect SystemExit(0)."""
+    for name, (atomnos, coords) in files.items():
+        write_xyz(rundir / name, symbols_from_atomnos(atomnos), coords)
+    (rundir / "input.txt").write_text(input_text)
+
+    from firecode_tpu.driver import Embedder
+
+    with pytest.raises(SystemExit) as exc:
+        embedder = Embedder(str(rundir / "input.txt"), stamp="test")
+        embedder.run()
+    assert exc.value.code == 0
+
+
+@pytest.mark.embed
+def test_refine_run(rundir, rng):
+    atomnos, coords = build_alkane(4)
+    confs = np.stack([coords + rng.normal(scale=0.05, size=coords.shape) for _ in range(6)])
+    run_input(
+        rundir,
+        "REFINE KCAL=20\nbutane.xyz\n",
+        {"butane.xyz": (atomnos, confs)},
+    )
+    assert (rundir / "firecode_final_ensemble_test.xyz").exists()
+    assert (rundir / "firecode_best.xyz").exists()
+
+
+@pytest.mark.embed
+def test_string_embed_run(rundir):
+    run_input(
+        rundir,
+        "STEPS=8\nhf.xyz 0\nnh3.xyz 0\n",
+        {"hf.xyz": (HF_Z, HF), "nh3.xyz": (NH3_Z, NH3)},
+    )
+    assert (rundir / "firecode_final_ensemble_test.xyz").exists()
+
+
+@pytest.mark.embed
+def test_cyclical_embed_run(rundir):
+    run_input(
+        rundir,
+        "STEPS=2 KCAL=50\ne1.xyz 0 1\ne2.xyz 0 1\n",
+        {"e1.xyz": (ETHENE_Z, ETHENE), "e2.xyz": (ETHENE_Z, ETHENE)},
+    )
+    assert (rundir / "firecode_final_ensemble_test.xyz").exists()
+    log = (rundir / "firecode_test.log").read_text()
+    assert "normal termination" in log
+
+
+@pytest.mark.operator
+def test_csearch_operator_run(rundir):
+    atomnos, coords = build_alkane(5)
+    run_input(
+        rundir,
+        "NOOPT\ncsearch> pentane.xyz\n",
+        {"pentane.xyz": (atomnos, coords)},
+    )
+    assert (rundir / "pentane_confs.xyz").exists()
+
+
+@pytest.mark.operator
+def test_noopt_bypass_keywords(rundir):
+    run_input(
+        rundir,
+        "BYPASS STEPS=2\ne1.xyz 0 1\ne2.xyz 0 1\n",
+        {"e1.xyz": (ETHENE_Z, ETHENE), "e2.xyz": (ETHENE_Z, ETHENE)},
+    )
+    # the unoptimized ensemble is renamed to final at normal termination
+    assert (rundir / "firecode_final_ensemble_test.xyz").exists()
+    assert (rundir / "firecode_embedded_test.xyz").exists()
+
+
+def test_unknown_keyword_suggestion(rundir):
+    from firecode_tpu.driver import Embedder
+
+    (rundir / "mol.xyz").write_text("1\nc\nH 0 0 0\n")
+    (rundir / "input.txt").write_text("STEPZ=3\nmol.xyz\n")
+    with pytest.raises(SyntaxError, match="STEPS"):
+        Embedder(str(rundir / "input.txt"), stamp="test")
+
+
+def test_dryrun(rundir):
+    run_input(
+        rundir,
+        "DRYRUN STEPS=2\ne1.xyz 0 1\ne2.xyz 0 1\n",
+        {"e1.xyz": (ETHENE_Z, ETHENE), "e2.xyz": (ETHENE_Z, ETHENE)},
+    )
+    # dry run produces no ensembles
+    assert not (rundir / "firecode_final_ensemble_test.xyz").exists()
