@@ -23,12 +23,17 @@ import numpy as np
 
 
 def make_ensemble(n_confs: int, seed: int = 0):
-    """Clustered synthetic ensemble: n_confs/4 distinct geometries x4 copies
-    (jittered + rigidly moved), shuffled — so the prune does real work."""
+    """Synthetic conformer ensemble with real structural diversity:
+    n_confs/4 distinct ROTAMERS of hexadecane (random angles on every rotable
+    torsion, driven on device) x4 near-duplicate copies each, plus random
+    rigid motions — so both the MOI and the RMSD stages do real work."""
     import jax
     import jax.numpy as jnp
 
+    from firecode_tpu.graphs import graphize
+    from firecode_tpu.ops.torsion_ops import rotate_dihedral
     from firecode_tpu.sample_molecules import build_alkane
+    from firecode_tpu.torsions import find_torsions
 
     atomnos, base = build_alkane(16)  # 50 atoms
     n_distinct = max(n_confs // 4, 1)
@@ -39,8 +44,22 @@ def make_ensemble(n_confs: int, seed: int = 0):
     base = jnp.asarray(base, dtype=jnp.float32)
     n_atoms = base.shape[0]
 
-    # distinct geometries: heavy jitter; duplicates: tiny jitter on top
-    distinct = base[None] + 0.35 * jax.random.normal(k1, (n_distinct, n_atoms, 3), jnp.float32)
+    graph = graphize(atomnos, np.asarray(base))
+    torsions = find_torsions(graph, atomnos, np.asarray(base))
+
+    distinct = jnp.broadcast_to(base, (n_distinct, n_atoms, 3))
+    keys = jax.random.split(k1, len(torsions))
+    for t, torsion in enumerate(torsions):
+        angles = jax.random.choice(
+            keys[t], jnp.asarray([0.0, 120.0, 240.0], jnp.float32), (n_distinct,)
+        )
+        distinct = rotate_dihedral(
+            distinct,
+            jnp.asarray(torsion.quadruplet),
+            angles,
+            jnp.asarray(torsion.mask),
+        )
+
     reps = jnp.repeat(distinct, 4, axis=0)[:n_confs]
     reps = reps + 0.02 * jax.random.normal(k2, reps.shape, jnp.float32)
 

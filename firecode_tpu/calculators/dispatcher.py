@@ -42,7 +42,12 @@ class Dispatcher:
     ) -> Calculator:
         """Build a batched calculator for the given system."""
         if self.calculator == "LITEFF":
-            return LiteFF(atomnos, coords, graph=graph)
+            calc = LiteFF(atomnos, coords, graph=graph)
+            if solvent is not None:
+                from firecode_tpu.calculators.solvation import solvate
+
+                calc = solvate(calc, atomnos, solvent, total_charge=charge)
+            return calc
         if self.calculator == "XTB":
             from firecode_tpu.calculators.xtb_io import XTBHostCalculator
 

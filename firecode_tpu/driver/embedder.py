@@ -903,6 +903,8 @@ class RunEmbedding:
                 graph=get_sum_graph(self.graphs)
                 if self.ids is not None
                 else self.embed_graph_bonds_only(),
+                charge=self.options.charge,
+                solvent=self.options.solvent,
             )
         return self._embed_calc
 

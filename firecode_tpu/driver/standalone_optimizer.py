@@ -1,0 +1,190 @@
+"""Standalone optimizer CLI: `firecode-tpu-opt [files...]`.
+
+Capability parity with the reference's firecode_opt
+(firecode/standalone_optimizer.py:62-776): geometry optimization /
+single-point / saddle / IRC / frequency jobs on multi-conformer .xyz files,
+constraint files ("B i j [val]" lines), automatic charge from +/- signs in
+the filename, and a results table. All conformers of a file are optimized as
+ONE device batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def charge_from_filename(name: str) -> int:
+    return name.count("+") - name.count("-")
+
+
+def parse_constraint_file(path: str | Path):
+    """Lines: 'B i j [value|auto]' / 'A i j k [value]' / 'D i j k l [value]'."""
+    specs = []
+    for line in Path(path).read_text().splitlines():
+        line = line.split("#")[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        kind = parts[0].upper()
+        n_idx = {"B": 2, "A": 3, "D": 4}[kind]
+        indices = tuple(int(x) for x in parts[1 : 1 + n_idx])
+        value = parts[1 + n_idx] if len(parts) > 1 + n_idx else "auto"
+        specs.append((kind, indices, value))
+    return specs
+
+
+def build_constraints(specs, coords):
+    from firecode_tpu.opt import Constraints
+    from firecode_tpu.prune.oracle import np_dihedral
+
+    cons = Constraints()
+    for kind, indices, value in specs:
+        pts = coords[list(indices)]
+        if value == "auto":
+            if kind == "B":
+                value = float(np.linalg.norm(pts[0] - pts[1]))
+            elif kind == "A":
+                v1, v2 = pts[0] - pts[1], pts[2] - pts[1]
+                value = float(
+                    np.degrees(
+                        np.arccos(
+                            np.clip(
+                                v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2)),
+                                -1,
+                                1,
+                            )
+                        )
+                    )
+                )
+            else:
+                value = np_dihedral(pts)
+        else:
+            value = float(value)
+        if kind == "B":
+            cons.add_distance(*indices, value)
+        elif kind == "A":
+            cons.add_angle(*indices, value)
+        else:
+            cons.add_dihedral(indices, value)
+    return cons
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="firecode-tpu-opt",
+        description="Batched optimizer: opt/SP/saddle/IRC/freq on .xyz files.",
+    )
+    parser.add_argument("files", nargs="+", help="multi-conformer .xyz files")
+    parser.add_argument("--sp", action="store_true", help="single-point only")
+    parser.add_argument("--saddle", action="store_true", help="saddle-point search")
+    parser.add_argument("--irc", action="store_true", help="IRC from the saddle")
+    parser.add_argument("--freq", action="store_true", help="frequencies + qRRHO")
+    parser.add_argument("--fmax", type=float, default=0.05)
+    parser.add_argument("--charge", type=int, default=None)
+    parser.add_argument("--calc", default=None, help="calculator override")
+    parser.add_argument("--solvent", default=None)
+    parser.add_argument("--constraints", default=None, help="constraint file")
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("-T", type=float, default=298.15)
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from firecode_tpu.settings import apply_env_defaults
+
+    apply_env_defaults()
+    import os
+
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.dispatcher import Dispatcher
+    from firecode_tpu.ensemble import Ensemble
+    from firecode_tpu.io.xyz import write_xyz
+    from firecode_tpu.opt import optimize_batch
+
+    calc_name = args.calc or os.environ.get("FIRECODE_TPU_CALCULATOR", "LITEFF")
+    dispatcher = Dispatcher(calc_name)
+
+    rows = []
+    for filename in args.files:
+        t0 = time.perf_counter()
+        ens = Ensemble.from_xyz(filename)
+        charge = args.charge if args.charge is not None else charge_from_filename(filename)
+        calc = dispatcher.get_batch_calc(
+            ens.atomnos, ens.coords[0], charge=charge, solvent=args.solvent
+        )
+        specs = parse_constraint_file(args.constraints) if args.constraints else []
+        cons = build_constraints(specs, ens.coords[0]) if specs else None
+        stem = Path(filename).stem
+
+        if args.sp:
+            energies = np.asarray(calc.energy(jnp.asarray(ens.coords)))
+            for c, e in enumerate(energies):
+                rows.append((stem, c + 1, "SP", e, "-"))
+            print(f"{filename}: single-point energies computed")
+        elif args.saddle:
+            from firecode_tpu.opt.saddle import irc_relax, saddle_refine
+
+            result = saddle_refine(calc, ens.coords[0], fmax=args.fmax)
+            write_xyz(f"{stem}_saddle.xyz", ens.atoms, result.coords)
+            rows.append(
+                (stem, 1, "SADDLE", result.energy, "ok" if result.converged else "FAIL")
+            )
+            if args.irc and result.converged:
+                fwd, rev = irc_relax(calc, result.coords, ens.atomnos)
+                write_xyz(f"{stem}_irc_fwd.xyz", ens.atoms, fwd)
+                write_xyz(f"{stem}_irc_rev.xyz", ens.atoms, rev)
+                print(f"{filename}: IRC endpoints written")
+        else:
+            res = optimize_batch(
+                calc, ens.coords, constraints=cons, fmax=args.fmax, max_steps=3000
+            )
+            coords = np.asarray(res.coords, dtype=np.float64)
+            energies = np.asarray(res.energy, dtype=np.float64)
+            conv = np.asarray(res.converged)
+            order = np.argsort(energies)
+            coords, energies, conv = coords[order], energies[order], conv[order]
+            write_xyz(f"{stem}_opt.xyz", ens.atoms, coords, energies=None)
+            for c, (e, ok) in enumerate(zip(energies, conv)):
+                rows.append((stem, c + 1, "OPT", e, "ok" if ok else "MAX ITER"))
+            print(
+                f"{filename}: optimized {len(coords)} conformers "
+                f"({time.perf_counter() - t0:.1f} s) -> {stem}_opt.xyz"
+            )
+
+        if args.freq:
+            from firecode_tpu.opt.hessian import frequencies
+            from firecode_tpu.thermo import get_free_energies
+
+            target = coords if not (args.sp or args.saddle) else ens.coords
+            gs = get_free_energies(
+                calc, ens.atomnos, target, T=args.T, expect_ts=args.saddle,
+                logfunction=print,
+            )
+            vib, n_imag = frequencies(
+                calc, ens.atomnos, target[0], expect_ts=args.saddle
+            )
+            print(
+                f"{filename}: lowest vib {vib[0]:.1f} cm^-1, {n_imag} imaginary, "
+                f"best G = {gs.min():.3f} kcal/mol"
+            )
+
+    if rows:
+        print("\n{:<20} {:>5} {:>8} {:>14} {:>9}".format(
+            "file", "conf", "job", "E (kcal/mol)", "status"
+        ))
+        print("-" * 60)
+        for name, conf, job, e, status in rows:
+            print(f"{name:<20} {conf:>5} {job:>8} {e:>14.4f} {status:>9}")
+
+
+if __name__ == "__main__":
+    main()

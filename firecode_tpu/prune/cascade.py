@@ -51,20 +51,52 @@ SimFn = Callable[..., jnp.ndarray]
 # --------------------------------------------------------------------------
 
 
+def _resolve_block_greedy(sim_in: jnp.ndarray, init: jnp.ndarray) -> jnp.ndarray:
+    """Exact within-block greedy keep-first from the block similarity matrix.
+
+    The recurrence keep[i] = init[i] & ~any_{j<i}(sim[j,i] & keep[j]) has a
+    strictly lower-triangular (acyclic) dependency, so its fixpoint is unique
+    and Jacobi sweeps converge to the sequential answer in at most
+    depth(dependency chain) iterations — a handful of [K, K] boolean ops
+    instead of K sequential steps.
+    """
+    k = init.shape[0]
+    strictly_before = jnp.triu(jnp.ones((k, k), dtype=bool), k=1)  # [j, i] with j < i
+
+    def body(carry):
+        keep, _ = carry
+        kill = jnp.any(sim_in & keep[:, None] & strictly_before, axis=0)
+        new = init & ~kill
+        return new, jnp.any(new != keep)
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    keep, _ = lax.while_loop(cond, body, (init, jnp.asarray(True)))
+    return keep
+
+
 def _blockwise_greedy(
     feats: dict,
     valid: jnp.ndarray,
     sim_fn: SimFn,
     block: int,
+    full_column: bool = False,
 ) -> jnp.ndarray:
     """Exact greedy keep-first over Bp structures; Bp % block == 0.
 
     feats: dict of arrays with leading dim Bp. sim_fn(row_feats, col_feats)
     -> bool[K, L] with [i, j] = "i and j are similar".
+
+    full_column=True computes each row-block's similarity against the WHOLE
+    ensemble in one kernel (better for cheap feature spaces: MOI/TFD);
+    full_column=False loops over column blocks (bounds memory for the heavy
+    coordinate-based RMSD similarity).
     """
     bp = valid.shape[0]
     nblocks = bp // block
-    iota = jnp.arange(block)
+    global_idx = jnp.arange(bp)
 
     def get_block(b):
         return {
@@ -74,22 +106,23 @@ def _blockwise_greedy(
     def outer(b, keep):
         row = get_block(b)
 
-        def col_body(p, dead):
-            col = get_block(p)
-            col_keep = lax.dynamic_slice_in_dim(keep, p * block, block)
-            sim = sim_fn(col, row)  # [K_col, K_row]
-            return dead | jnp.any(sim & col_keep[:, None], axis=0)
+        if full_column:
+            sim_all = sim_fn(feats, row)  # [Bp, K]
+            earlier = (global_idx < b * block)[:, None]
+            dead = jnp.any(sim_all & keep[:, None] & earlier, axis=0)
+        else:
 
-        dead = lax.fori_loop(0, b, col_body, jnp.zeros(block, dtype=bool))
+            def col_body(p, dead):
+                col = get_block(p)
+                col_keep = lax.dynamic_slice_in_dim(keep, p * block, block)
+                sim = sim_fn(col, row)  # [K_col, K_row]
+                return dead | jnp.any(sim & col_keep[:, None], axis=0)
+
+            dead = lax.fori_loop(0, b, col_body, jnp.zeros(block, dtype=bool))
 
         sim_in = sim_fn(row, row)
-        kb = lax.dynamic_slice_in_dim(valid, b * block, block) & ~dead
-
-        def inner(i, kb):
-            kill = sim_in[i] & kb[i] & (iota > i)
-            return kb & ~kill
-
-        kb = lax.fori_loop(0, block, inner, kb)
+        init = lax.dynamic_slice_in_dim(valid, b * block, block) & ~dead
+        kb = _resolve_block_greedy(sim_in, init)
         return lax.dynamic_update_slice_in_dim(keep, kb, b * block, axis=0)
 
     return lax.fori_loop(0, nblocks, outer, jnp.zeros(bp, dtype=bool))
@@ -323,7 +356,9 @@ def _prune_moi_device(
     if has_energies:
         feats["energies"] = energies
     feats, valid, _ = _pad_block(feats, b, block)
-    return _blockwise_greedy(feats, valid, _make_moi_sim(rel_tol, max_dE), block)[:b]
+    return _blockwise_greedy(
+        feats, valid, _make_moi_sim(rel_tol, max_dE), block, full_column=True
+    )[:b]
 
 
 def prune_by_moi(
@@ -372,7 +407,9 @@ def _prune_tfd_device(tf, energies, thresh, max_dE, block: int, has_energies: bo
     if has_energies:
         feats["energies"] = energies
     feats, valid, _ = _pad_block(feats, b, block)
-    return _blockwise_greedy(feats, valid, _make_tfd_sim(thresh, max_dE), block)[:b]
+    return _blockwise_greedy(
+        feats, valid, _make_tfd_sim(thresh, max_dE), block, full_column=True
+    )[:b]
 
 
 def prune_by_tfd(
