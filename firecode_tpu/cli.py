@@ -35,13 +35,9 @@ def main(argv: list[str] | None = None) -> None:
     apply_env_defaults()
 
     if args.setup:
-        import os
+        from firecode_tpu.modify_settings import run_setup
 
-        print("Current FIRECODE_TPU_* settings:")
-        for key, value in sorted(os.environ.items()):
-            if key.startswith("FIRECODE_TPU_"):
-                print(f"  {key}={value}")
-        print("\nOverride via ~/.firecodetpurc or ./.firecodetpurc (key=value lines).")
+        run_setup()
         return
 
     if args.inputfile is None:

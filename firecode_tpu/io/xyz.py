@@ -24,13 +24,28 @@ _NUM_RE = re.compile(r"-?\d+\.\d+")
 _EH_RE = re.compile(r"(-?\d+\.\d+)\s*EH", re.IGNORECASE)
 _KCAL_RE = re.compile(r"(-?\d+\.\d+)\s*KCAL/MOL", re.IGNORECASE)
 
+try:  # C-accelerated parser/formatter (native/fastxyz.c); pure-Python fallback
+    from firecode_tpu.io import _fastxyz
+except ImportError:  # pragma: no cover - extension not built
+    _fastxyz = None
+
 
 def parse_xyz(text: str) -> tuple[list[str], np.ndarray, list[str]]:
     """Parse a (possibly multi-frame) xyz string.
 
     Returns (atoms, coords[B, N, 3] float64, comment_lines). All frames must
-    share the same atom list.
+    share the same atom list. Uses the C extension when built.
     """
+    if _fastxyz is not None:
+        try:
+            symbols, coords, comments = _fastxyz.parse(text)
+            return [s.capitalize() for s in symbols], coords, comments
+        except ValueError as exc:
+            raise InputError(str(exc)) from exc
+    return _parse_xyz_py(text)
+
+
+def _parse_xyz_py(text: str) -> tuple[list[str], np.ndarray, list[str]]:
     lines = text.splitlines()
     i = 0
     n_lines = len(lines)
@@ -132,11 +147,18 @@ def write_xyz(
     if coords.ndim == 2:
         coords = coords[None]
     atoms = list(atoms)
-    chunks = []
-    for b in range(coords.shape[0]):
-        t = title if energies is None else f"{energies[b]:.8f} Eh"
-        chunks.append(format_xyz(atoms, coords[b], title=t))
-    text = "".join(chunks)
+    titles = [
+        title if energies is None else f"{energies[b]:.8f} Eh"
+        for b in range(coords.shape[0])
+    ]
+    if _fastxyz is not None:
+        text = _fastxyz.format(
+            [str(a) for a in atoms], np.ascontiguousarray(coords, dtype=np.float64), titles
+        )
+    else:
+        text = "".join(
+            format_xyz(atoms, coords[b], title=t) for b, t in enumerate(titles)
+        )
     if hasattr(path, "write"):
         path.write(text)  # type: ignore[union-attr]
     else:

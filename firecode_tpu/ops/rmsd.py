@@ -128,19 +128,33 @@ def _qcp_lambda_max(s: jnp.ndarray, ga: jnp.ndarray, gb: jnp.ndarray) -> jnp.nda
 
 
 def _adjugate4(h: jnp.ndarray) -> jnp.ndarray:
-    """Adjugate of [..., 4, 4] (for symmetric input, equals cofactor matrix)."""
-    cols = []
-    idx = (0, 1, 2, 3)
+    """Adjugate of [..., 4, 4] (for symmetric input, equals cofactor matrix).
+
+    Fully scalar-expanded: static-index slices + elementwise FMAs only (no
+    gathers, no small-matrix ops) so huge pairwise batches stay on the VPU.
+    """
+    e = [[h[..., i, j] for j in range(4)] for i in range(4)]
+
+    def det3(rows, cols):
+        (a0, a1, a2), (b0, b1, b2), (c0, c1, c2) = (
+            [e[r][c] for c in cols] for r in rows
+        )
+        return (
+            a0 * (b1 * c2 - b2 * c1)
+            - a1 * (b0 * c2 - b2 * c0)
+            + a2 * (b0 * c1 - b1 * c0)
+        )
+
+    rows_out = []
     for j in range(4):
-        col = []
+        row = []
         for i in range(4):
-            rows = [r for r in idx if r != i]
-            colsel = [c for c in idx if c != j]
-            minor = h[..., rows, :][..., :, colsel]
-            col.append(((-1.0) ** (i + j)) * _det3(minor))
-        cols.append(jnp.stack(col, axis=-1))
-    # adj[j, i] = cofactor[i, j] -> stacking columns gives adj rows
-    return jnp.stack(cols, axis=-2)
+            rows = [r for r in range(4) if r != i]
+            cols = [c for c in range(4) if c != j]
+            row.append(((-1.0) ** (i + j)) * det3(rows, cols))
+        rows_out.append(jnp.stack(row, axis=-1))
+    # adj[j, i] = cofactor[i, j]
+    return jnp.stack(rows_out, axis=-2)
 
 
 def _qcp_quaternion(s: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
@@ -150,7 +164,10 @@ def _qcp_quaternion(s: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     adj = _adjugate4(h)  # rank-1: c * q q^T; any strong column ~ q
     norms = jnp.sum(adj * adj, axis=-1)  # row norms (symmetric: rows ~ cols)
     best = jnp.argmax(norms, axis=-1)
-    q = jnp.take_along_axis(adj, best[..., None, None], axis=-2)[..., 0, :]
+    # branch-free row pick (gathers on huge pairwise batches are slow on TPU)
+    q = jnp.zeros_like(adj[..., 0, :])
+    for r in range(4):
+        q = jnp.where((best == r)[..., None], adj[..., r, :], q)
     qn = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
     # degenerate (e.g. identical structures with lam multiplicity): fall back
     # to the identity rotation

@@ -150,6 +150,32 @@ def _energy_sim(row: dict, col: dict, sim: jnp.ndarray, max_dE) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 
+def _maxdev_from_rotation(
+    ac: jnp.ndarray, bc: jnp.ndarray, rot: jnp.ndarray
+) -> jnp.ndarray:
+    """Max per-atom deviation for all pairs: dev_n^2 = |a_n|^2 + |b_n|^2 -
+    2 a_n^T R b_n, expanded as 9 broadcast FMAs per atom chunk (tiny batched
+    3x3 matvecs lower terribly on the MXU; this stays pure VPU)."""
+    n = ac.shape[1]
+    k, l = ac.shape[0], bc.shape[0]
+    maxdev2 = jnp.zeros((k, l), dtype=ac.dtype)
+    for start in range(0, n, _MAXDEV_ATOM_CHUNK):
+        stop = min(start + _MAXDEV_ATOM_CHUNK, n)
+        an = ac[:, start:stop, :]  # [K, c, 3]
+        bn = bc[:, start:stop, :]  # [L, c, 3]
+        p = jnp.zeros((k, l, stop - start), dtype=ac.dtype)
+        for x in range(3):
+            for y in range(3):
+                p = p + rot[:, :, x, y, None] * (
+                    an[:, None, :, x] * bn[None, :, :, y]
+                )
+        a2 = jnp.sum(an * an, axis=-1)[:, None, :]
+        b2 = jnp.sum(bn * bn, axis=-1)[None, :, :]
+        dev2 = a2 + b2 - 2.0 * p
+        maxdev2 = jnp.maximum(maxdev2, jnp.max(dev2, axis=-1))
+    return jnp.sqrt(jnp.maximum(maxdev2, 0.0))
+
+
 def _rmsd_maxdev_block(
     ac: jnp.ndarray,
     ga: jnp.ndarray,
@@ -157,28 +183,34 @@ def _rmsd_maxdev_block(
     gb: jnp.ndarray,
     wsum,
     use_maxdev: bool,
+    thr=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     s = _pairwise_correlation(ac, bc)
     lam = _qcp_lambda_max(s, ga[:, None], gb[None, :])
     rmsd = _rmsd_from_lambda(ga[:, None], gb[None, :], lam, wsum)
     if not use_maxdev:
         return rmsd, None
-    rot = qcp_rotation(s, lam)  # [K, L, 3, 3]
-    n = ac.shape[1]
-    maxdev2 = jnp.zeros(rmsd.shape, dtype=rmsd.dtype)
-    # stream atoms in chunks so the [K, L, chunk, 3] intermediate stays small
-    for start in range(0, n, _MAXDEV_ATOM_CHUNK):
-        stop = min(start + _MAXDEV_ATOM_CHUNK, n)
-        b_rot = jnp.einsum("klxy,lny->klnx", rot, bc[:, start:stop])
-        dev = b_rot - ac[:, None, start:stop, :]
-        maxdev2 = jnp.maximum(maxdev2, jnp.max(jnp.sum(dev * dev, axis=-1), axis=-1))
-    return rmsd, jnp.sqrt(maxdev2)
+
+    def compute(_):
+        rot = qcp_rotation(s, lam)  # [K, L, 3, 3]
+        return _maxdev_from_rotation(ac, bc, rot)
+
+    if thr is not None:
+        # the deviation criterion only matters for rmsd-close pairs: skip the
+        # whole rotation recovery when this tile has none
+        any_close = jnp.any(rmsd < thr)
+        maxdev = lax.cond(
+            any_close, compute, lambda _: jnp.zeros_like(rmsd), operand=None
+        )
+    else:
+        maxdev = compute(None)
+    return rmsd, maxdev
 
 
 def _make_rmsd_sim(thr, max_dE, use_maxdev: bool, wsum) -> SimFn:
     def sim_fn(row: dict, col: dict) -> jnp.ndarray:
         rmsd, maxdev = _rmsd_maxdev_block(
-            row["c"], row["g"], col["c"], col["g"], wsum, use_maxdev
+            row["c"], row["g"], col["c"], col["g"], wsum, use_maxdev, thr=thr
         )
         sim = rmsd < thr
         if maxdev is not None:
@@ -245,7 +277,7 @@ def prune_by_rmsd(
 def _make_rmsd_rot_corr_sim(thr, max_dE, use_maxdev: bool, wsum, perms: jnp.ndarray) -> SimFn:
     def sim_fn(row: dict, col: dict) -> jnp.ndarray:
         rmsd, maxdev = _rmsd_maxdev_block(
-            row["c"], row["g"], col["c"], col["g"], wsum, use_maxdev
+            row["c"], row["g"], col["c"], col["g"], wsum, use_maxdev, thr=thr
         )
         sim = rmsd < thr
         if maxdev is not None:
@@ -254,7 +286,7 @@ def _make_rmsd_rot_corr_sim(thr, max_dE, use_maxdev: bool, wsum, perms: jnp.ndar
             # permuting centered coords is valid: centroids are perm-invariant
             bp = col["c"][:, perms[p], :]
             rmsd_p, maxdev_p = _rmsd_maxdev_block(
-                row["c"], row["g"], bp, col["g"], wsum, use_maxdev
+                row["c"], row["g"], bp, col["g"], wsum, use_maxdev, thr=thr
             )
             sim_p = rmsd_p < thr
             if maxdev_p is not None:
