@@ -913,9 +913,30 @@ class RunEmbedding:
 
         return graphize(self.atomnos, self.structures[0])
 
+    def _ezprot_quadruplets(self) -> list[tuple[int, int, int, int]]:
+        """Dihedral quadruplets across double bonds, for EZPROT
+        (firecode/embedder_options.py EZPROT keyword: double bond protection)."""
+        from firecode_tpu.graphs import get_double_bonds_indices, graphize
+
+        graph = graphize(self.atomnos, self.structures[0])
+        quads = []
+        for i, j in get_double_bonds_indices(self.atomnos, self.structures[0]):
+            i_nb = [n for n in graph.neighbors(i) if n != j]
+            j_nb = [n for n in graph.neighbors(j) if n != i]
+            if i_nb and j_nb:
+                quads.append((i_nb[0], i, j, j_nb[0]))
+        return quads
+
     def _constraint_groups(self, only_fixed_constraints: bool):
         """Group structure indices by identical constraint signatures, so one
         batched optimization serves each group."""
+        from firecode_tpu.prune.oracle import np_dihedral
+
+        ez_quads = (
+            self._ezprot_quadruplets()
+            if self.options.double_bond_protection
+            else []
+        )
         groups: dict[tuple, list[int]] = {}
         for i in range(len(self.structures)):
             if only_fixed_constraints:
@@ -929,7 +950,12 @@ class RunEmbedding:
             for pair in sorted(set(pairs)):
                 target = self.get_pairing_dists_from_constrained_indices(pair)
                 sig.append((int(pair[0]), int(pair[1]), target))
-            groups.setdefault(tuple(sig), []).append(i)
+            # EZPROT: pin each double bond to its current E/Z configuration
+            ez_sig = []
+            for quad in ez_quads:
+                phi = np_dihedral(self.structures[i][list(quad)])
+                ez_sig.append((quad, 0.0 if abs(phi) < 90.0 else 180.0))
+            groups.setdefault((tuple(sig), tuple(ez_sig)), []).append(i)
         return groups
 
     def optimization_refining(
@@ -964,7 +990,7 @@ class RunEmbedding:
         groups = self._constraint_groups(only_fixed_constraints)
         dtype = np.float64 if self.structures.dtype == np.float64 else np.float32
 
-        for sig, indices in groups.items():
+        for (sig, ez_sig), indices in groups.items():
             cons = Constraints()
             for i1, i2, target in sig:
                 if target is None:
@@ -975,6 +1001,8 @@ class RunEmbedding:
                         )
                     )
                 cons.add_distance(i1, i2, target, k=spring_k)
+            for quad, phi in ez_sig:
+                cons.add_dihedral(quad, phi, k=25.0)
             for c in self.internal_angle_dih_constraints:
                 if only_fixed_constraints and not c.fixed:
                     continue

@@ -43,6 +43,7 @@ def operate(filename: str, operator: str, embedder) -> str | None:
         "packmol": packmol_operator,
         "equilibrate": equilibrate_operator,
         "rsearch": rsearch_operator,
+        "fsm": fsm_operator,
     }
     func = table.get(op_name)
     if func is None:
@@ -246,6 +247,34 @@ def neb_operator(filename: str, embedder) -> str:
     write_xyz(mep_name, mol.atoms, result.images, energies=None)
     outname = f"{Path(filename).stem}_TS.xyz"
     write_xyz(outname, mol.atoms, result.ts_coords)
+    return outname
+
+
+def fsm_operator(filename: str, embedder) -> str:
+    """Freezing-string TS search from reagent+product frames
+    (firecode/ase_manipulations.py:1402-1510)."""
+    from firecode_tpu.opt.fsm import run_fsm
+    from firecode_tpu.opt.saddle import saddle_refine
+
+    mol = _mol_for(filename, embedder)
+    if len(mol.coords) < 2:
+        raise InputError(f"fsm> needs reagent and product frames in {filename}")
+    calc = _get_calc(embedder, mol)
+    result = run_fsm(
+        calc,
+        mol.coords[0],
+        mol.coords[-1],
+        n_nodes=embedder.options.images or 12,
+        logfunction=lambda s: embedder.log(s, p=False),
+    )
+    embedder.log(
+        f"    FSM: TS guess at node {result.ts_index + 1}, "
+        f"E = {result.ts_energy:.2f} kcal/mol; refining saddle"
+    )
+    refined = saddle_refine(calc, result.ts_coords, fmax=0.05)
+    write_xyz(f"{Path(filename).stem}_FSM_string.xyz", mol.atoms, result.string)
+    outname = f"{Path(filename).stem}_TS.xyz"
+    write_xyz(outname, mol.atoms, refined.coords if refined.converged else result.ts_coords)
     return outname
 
 

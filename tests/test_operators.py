@@ -1,0 +1,108 @@
+"""Golden-input operator runs through the full driver (neb/scan/saddle/fsm/
+freq/pka) — reference test strategy, operator marker set."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from firecode_tpu.io.xyz import write_xyz
+from firecode_tpu.pt import symbols_from_atomnos
+from firecode_tpu.sample_molecules import build_alkane
+from tests.test_driver import rundir, run_input  # noqa: F401
+
+
+def _butane_rotamer_endpoints():
+    from firecode_tpu.graphs import graphize, rotation_mask
+    from firecode_tpu.ops.torsion_ops import rotate_dihedral
+
+    atomnos, coords = build_alkane(4)
+    graph = graphize(atomnos, coords)
+    mask = jnp.asarray(rotation_mask(graph, (0, 1, 2, 3)))
+    gauche = np.asarray(
+        rotate_dihedral(jnp.asarray(coords), jnp.asarray([0, 1, 2, 3]), 120.0, mask)
+    )
+    return atomnos, np.stack([coords, gauche])
+
+
+@pytest.mark.operator
+def test_neb_operator_run(rundir):
+    atomnos, frames = _butane_rotamer_endpoints()
+    run_input(
+        rundir,
+        "NOOPT NEB(images=7)\nneb> rot.xyz\n",
+        {"rot.xyz": (atomnos, frames)},
+    )
+    assert (rundir / "rot_TS.xyz").exists()
+    assert (rundir / "rot_MEP.xyz").exists()
+
+
+@pytest.mark.operator
+def test_fsm_operator_run(rundir):
+    atomnos, frames = _butane_rotamer_endpoints()
+    run_input(
+        rundir,
+        "NOOPT IMAGES=8\nfsm> rot.xyz\n",
+        {"rot.xyz": (atomnos, frames)},
+    )
+    assert (rundir / "rot_TS.xyz").exists()
+    assert (rundir / "rot_FSM_string.xyz").exists()
+
+
+@pytest.mark.operator
+def test_scan_operator_run(rundir):
+    # dihedral scan driven by a D constraint line
+    atomnos, coords = build_alkane(4)
+    run_input(
+        rundir,
+        "NOOPT\nscan> but.xyz\n D 0 1 2 3\n",
+        {"but.xyz": (atomnos, coords)},
+    )
+    assert (rundir / "but_scan.xyz").exists()
+    assert (rundir / "but_scan_peak.xyz").exists()
+
+
+@pytest.mark.operator
+def test_saddle_freq_operators_run(rundir):
+    from firecode_tpu.calculators import LiteFF
+    from firecode_tpu.opt import optimize_batch
+    from firecode_tpu.opt.neb import run_neb
+
+    atomnos, frames = _butane_rotamer_endpoints()
+    calc = LiteFF(atomnos, frames[0])
+    res = optimize_batch(calc, frames, fmax=0.02, max_steps=2000)
+    ends = np.asarray(res.coords)
+    neb = run_neb(calc, ends[0], ends[1], n_images=7)
+    run_input(
+        rundir,
+        "NOOPT\nsaddle> freq> ts.xyz\n",
+        {"ts.xyz": (atomnos, neb.ts_coords[None])},
+    )
+    assert (rundir / "ts_saddle.xyz").exists()
+
+
+@pytest.mark.operator
+def test_pka_operator_run(rundir):
+    # water as a tiny acid: reactive H index 1
+    from tests.test_calculator_opt import WATER, WATER_Z
+
+    run_input(
+        rundir,
+        "NOOPT\npka> water.xyz 1\n",
+        {"water.xyz": (WATER_Z, WATER[None])},
+    )
+    log = (rundir / "firecode_test.log").read_text()
+    assert "pKa" in log or "pka" in log
+    assert "HA -> A-" in log
+
+
+def test_ezprot_keyword(rundir):
+    # EZPROT sets double-bond protection; smoke through a refine run
+    from tests.test_embed import ETHENE, ETHENE_Z
+
+    confs = np.stack([ETHENE, ETHENE + 0.01])
+    run_input(
+        rundir,
+        "REFINE EZPROT KCAL=50\neth.xyz\n",
+        {"eth.xyz": (ETHENE_Z, confs)},
+    )
+    assert (rundir / "firecode_final_ensemble_test.xyz").exists()
