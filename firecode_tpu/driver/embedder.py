@@ -1134,22 +1134,33 @@ class RunEmbedding:
             self.log("\n--> Dry run requested: exiting.")
             self.normal_termination()
 
+        from firecode_tpu.driver.checkpoint import save_state
+        from firecode_tpu.profiling import profiler
+
+        profiler.reset()
         try:
             try:
-                self.generate_candidates()
+                with profiler.timer("generate_candidates"):
+                    self.generate_candidates()
                 if self.options.bypass:
                     self.write_structures("unoptimized", energies=False)
                     self.normal_termination()
-                self.compenetration_refining()
-                self.similarity_refining(
-                    rmsd=(self.embed == "refine"), verbose=True
-                )
+                with profiler.timer("compenetration_refining"):
+                    self.compenetration_refining()
+                with profiler.timer("similarity_refining"):
+                    self.similarity_refining(
+                        rmsd=(self.embed == "refine"), verbose=True
+                    )
+                save_state(self, "pre_optimization")
                 if self.options.optimization:
                     if len(self.structures) > 500 or self.temporary_constraints_present():
-                        self.optimization_refining(conv_thr="loose")
-                    self.optimization_refining(
-                        conv_thr="tight", only_fixed_constraints=True
-                    )
+                        with profiler.timer("optimization_loose"):
+                            self.optimization_refining(conv_thr="loose")
+                    with profiler.timer("optimization_tight"):
+                        self.optimization_refining(
+                            conv_thr="tight", only_fixed_constraints=True
+                        )
+                    save_state(self, "post_optimization")
                 else:
                     self.write_structures("unoptimized", energies=False)
             except ZeroCandidatesError:
@@ -1162,7 +1173,12 @@ class RunEmbedding:
                 sys.exit(0)
 
             if self.options.freq:
-                self.vibrational_analysis()
+                with profiler.timer("vibrational_analysis"):
+                    self.vibrational_analysis()
+
+            report = profiler.report()
+            if report:
+                self.log("\n" + report)
 
             self.normal_termination()
 
