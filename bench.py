@@ -76,17 +76,27 @@ def make_ensemble(n_confs: int, seed: int = 0):
     return atomnos, np.asarray(coords[perm])
 
 
-def run_cascade(coords: np.ndarray, atomnos: np.ndarray, block: int) -> tuple[int, float]:
+def run_cascade(coords, atomnos: np.ndarray, block: int) -> tuple[int, float]:
+    """Device-resident cascade: coordinates stay in HBM; only keep masks cross
+    to host, and stage-to-stage compaction is a device gather."""
+    import jax.numpy as jnp
+
     from firecode_tpu.prune import prune_by_moi, prune_by_rmsd, prune_by_rmsd_rot_corr
+
+    coords = jnp.asarray(coords)
+    coords.block_until_ready()
 
     t0 = time.perf_counter()
     keep = prune_by_moi(coords, atomnos, block=block)
-    coords = coords[keep]
+    coords = jnp.take(coords, jnp.asarray(np.where(keep)[0]), axis=0)
     keep = prune_by_rmsd(coords, atomnos, rmsd_thr=0.5, block=block)
-    coords = coords[keep]
+    coords = jnp.take(coords, jnp.asarray(np.where(keep)[0]), axis=0)
     if len(coords) <= 1000:
-        keep = prune_by_rmsd_rot_corr(coords, atomnos, rmsd_thr=0.5, block=min(block, 256))
-        coords = coords[keep]
+        keep = prune_by_rmsd_rot_corr(
+            np.asarray(coords), atomnos, rmsd_thr=0.5, block=min(block, 256)
+        )
+        coords = jnp.take(coords, jnp.asarray(np.where(keep)[0]), axis=0)
+    coords.block_until_ready()
     elapsed = time.perf_counter() - t0
     return len(coords), elapsed
 

@@ -616,9 +616,24 @@ class Embedder:
                 setattr(self, attr, value[mask])
 
     def write_structures(
-        self, tag: str, energies: bool = True, p: bool = True, extra: str = ""
+        self,
+        tag: str,
+        energies: bool = True,
+        p: bool = True,
+        extra: str = "",
+        align: bool = True,
     ) -> str:
         structures = self.structures
+        if align and len(structures) > 1:
+            # superpose everything on the first structure for readable output
+            # (reference align_structures, firecode/embedder.py:1702-1705)
+            import jax.numpy as jnp
+
+            from firecode_tpu.ops.rmsd import kabsch_align
+
+            structures = np.asarray(
+                kabsch_align(jnp.asarray(structures), jnp.asarray(structures[0]))
+            )
         if len(structures) > 10000 and not self.options.let:
             self.log(
                 f"Truncated {tag} output to 10000 structures "
@@ -660,6 +675,13 @@ class Embedder:
                     self.log(f"> Candidate {i + 1:2}    {e:.2f} kcal/mol")
             with open("firecode_best.xyz", "w") as f:
                 write_xyz(f, self.atoms, self.structures[0])
+
+        from firecode_tpu.quotes import random_quote
+
+        quote, author = random_quote()
+        self.log(f"\n    {quote}")
+        if author:
+            self.log(f"    - {author}")
         self.logfile.close()
         sys.exit(0)
 
