@@ -101,7 +101,66 @@ def run_cascade(coords, atomnos: np.ndarray, block: int) -> tuple[int, float]:
     return len(coords), elapsed
 
 
+def bench_csearch() -> None:
+    """Secondary metric (BASELINE.md): torsion-scan geometries/sec/chip.
+
+    Drives the full systematic angle grid of hexadecane (13 rotors) with the
+    batched dihedral-driving kernel including the clash back-off, and reports
+    steady-state geometries/second. Run with FIRECODE_BENCH_MODE=csearch.
+    """
+    import jax.numpy as jnp
+
+    from firecode_tpu.csearch import _angle_grid, _drive_torsions, _torsion_masks
+    from firecode_tpu.graphs import graphize
+    from firecode_tpu.sample_molecules import build_alkane
+    from firecode_tpu.torsions import find_torsions
+
+    n_candidates = int(os.environ.get("FIRECODE_BENCH_CONFS", "65536"))
+    atomnos, coords = build_alkane(16)
+    graph = graphize(atomnos, coords)
+    torsions = find_torsions(graph, atomnos, coords)
+    rng = np.random.default_rng(0)
+    angles = _angle_grid(torsions, rng, n_candidates, shuffle=False)
+    quads, moving, static = _torsion_masks(torsions, len(atomnos))
+
+    def run(angle_arr):
+        out, n_rot = _drive_torsions(
+            jnp.asarray(coords, jnp.float32),
+            jnp.asarray(quads),
+            jnp.asarray(moving),
+            jnp.asarray(static),
+            jnp.asarray(angle_arr, jnp.float32),
+            len(torsions),
+        )
+        out.block_until_ready()
+        return out
+
+    run(angles)  # compile
+    # fresh (jittered) inputs per timed pass to defeat any result caching
+    t0 = time.perf_counter()
+    n_pass = 3
+    for k in range(n_pass):
+        run(angles + 0.001 * (k + 1))
+    elapsed = (time.perf_counter() - t0) / n_pass
+    rate = len(angles) / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "torsion-scan geometries/sec/chip (13 rotors, 50 atoms, clash back-off)",
+                "value": round(rate, 0),
+                "unit": "geoms/s",
+                "vs_baseline": round(rate / 1000.0, 2),
+                "n_candidates": len(angles),
+                "elapsed_s": round(elapsed, 3),
+            }
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("FIRECODE_BENCH_MODE") == "csearch":
+        bench_csearch()
+        return
     n_confs = int(os.environ.get("FIRECODE_BENCH_CONFS", "100000"))
     block = int(os.environ.get("FIRECODE_BENCH_BLOCK", "1024"))
     block = min(block, max(n_confs // 2, 2))

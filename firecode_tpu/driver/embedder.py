@@ -98,8 +98,11 @@ class Embedder:
         self.graphs = [mol.graph for mol in self.objects]
 
         self._read_pairings()
+        self.check_objects_compenetration()
         self._set_options()
+        self.check_saturation()
         self._calculator_setup()
+        self._print_references()
         self._apply_operators()
         self._setup()
 
@@ -269,13 +272,14 @@ class Embedder:
                 if not frag.lower().islower():
                     unlabeled.append(int(frag))
                 else:
-                    index_, letters = [
-                        "".join(g) for _, g in groupby(frag, str.isalpha)
-                    ][:2] if frag[0].isalpha() else [
-                        "".join(g) for _, g in groupby(frag, str.isalpha)
-                    ]
-                    for letter in letters:
-                        pairings.append((int(index_), letter))
+                    m = re.fullmatch(r"(\d+)([A-Za-z]+)", frag)
+                    if m is None:
+                        raise InputError(
+                            f"Could not parse reactive index fragment {frag!r} "
+                            "(expected e.g. '2a' or '7ab')"
+                        )
+                    for letter in m.group(2):
+                        pairings.append((int(m.group(1)), letter))
 
             # internal distance constraints become same-letter pairs
             for constr in self.objects[i].constraints:
@@ -331,6 +335,58 @@ class Embedder:
                     self.internal_angle_dih_constraints.append(
                         Constraint(tuple(x + offset for x in c.indices), c.value, c.fixed)
                     )
+
+    # ------------------------------------------------------------ checks
+
+    def check_objects_compenetration(self) -> None:
+        """Warn when input conformers contain sub-0.5 A contacts
+        (firecode/embedder.py:454-462)."""
+        import jax.numpy as jnp
+
+        from firecode_tpu.ops.clash import count_clashes
+
+        for mol in self.objects:
+            clashes = np.asarray(count_clashes(jnp.asarray(mol.coords), thr=0.5))
+            for c, n in enumerate(clashes):
+                if n > 0:
+                    self.warn(
+                        f"--> WARNING! {mol.filename}, conformer {c + 1} looks "
+                        f"compenetrated ({int(n)} interatomic distances < 0.5 A)"
+                    )
+
+    def check_saturation(self) -> None:
+        """Valence-parity sanity check (firecode/utils.py:494-584)."""
+        from firecode_tpu.pt import TRANSITION_METALS
+
+        odd_valent = {
+            "H", "Li", "Na", "K", "Rb", "Cs", "F", "Cl", "Br", "I", "At",
+            "N", "P", "As", "Sb", "Bi", "B", "Al", "Ga", "In", "Tl",
+        }
+        for mol in self.objects:
+            atoms = [str(a) for a in mol.atoms]
+            if any(a in TRANSITION_METALS for a in atoms):
+                continue  # organometallics: cannot tell, assume fine
+            n_odd = sum(1 for a in atoms if a in odd_valent)
+            looks_ok = ((n_odd + mol.charge) % 2) == 0
+            if looks_ok or self.options.mult % 2 == 0:
+                self.log(
+                    f"--> {mol.filename}: saturation check passed "
+                    f"(CHG={mol.charge}, MULT={self.options.mult})"
+                )
+            else:
+                self.warn(
+                    f"--> WARNING! {mol.filename}: saturation check failed "
+                    f"(odd saturation index with CHG={mol.charge}, "
+                    f"MULT={self.options.mult}). Bad input geometry?"
+                )
+
+    def _print_references(self) -> None:
+        from firecode_tpu.references import references_for_options
+
+        self.log("\n--> Literature for the methods used in this run:")
+        for ref in references_for_options(self.options):
+            self.log(f"    {ref}")
+        self.log()
 
     # ------------------------------------------------------------ setup
 
@@ -687,8 +743,6 @@ class Embedder:
 
 
 def _cast(value: str):
-    from firecode_tpu.io.xyz import _NUM_RE  # noqa: F401
-
     low = value.lower()
     if low in ("none", ""):
         return None

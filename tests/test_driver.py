@@ -110,3 +110,22 @@ def test_dryrun(rundir):
     )
     # dry run produces no ensembles
     assert not (rundir / "firecode_final_ensemble_test.xyz").exists()
+
+
+@pytest.mark.embed
+def test_pairing_letters_and_dist(rundir):
+    """Pairing letters restrict arrangements; DIST imposes embed distances."""
+    run_input(
+        rundir,
+        "STEPS=2 KCAL=50 DIST(a=3.0)\ne1.xyz 0a 1\ne2.xyz 0a 1\n",
+        {"e1.xyz": (ETHENE_Z, ETHENE), "e2.xyz": (ETHENE_Z, ETHENE)},
+    )
+    log = (rundir / "firecode_test.log").read_text()
+    assert "Atom pairings imposed" in log
+    assert (rundir / "firecode_final_ensemble_test.xyz").exists()
+    # the paired atoms (cum 0 and 6) should sit near the imposed 3.0 A
+    from firecode_tpu.io.xyz import read_xyz
+
+    _, coords, _ = read_xyz(rundir / "firecode_final_ensemble_test.xyz")
+    d = np.linalg.norm(coords[0][0] - coords[0][6])
+    assert 1.5 < d < 4.5
