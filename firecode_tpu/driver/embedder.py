@@ -22,8 +22,7 @@ import os
 import re
 import sys
 import time
-from dataclasses import dataclass, field as dc_field
-from itertools import groupby
+from dataclasses import dataclass
 from pathlib import Path
 from string import ascii_lowercase
 from typing import Any, Sequence

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Any
 
 # keyword -> priority (1 runs first)
 KEYWORDS: dict[str, int] = {

@@ -18,8 +18,6 @@ from firecode_tpu.graphs import graphize
 
 def _best_free_energy(embedder, atomnos, coords, charge) -> float:
     """Optimize a small ensemble and return the best G (kcal/mol)."""
-    import jax.numpy as jnp  # noqa: F401
-
     from firecode_tpu.opt import optimize_batch
     from firecode_tpu.prune import prune_by_rmsd
     from firecode_tpu.thermo import get_free_energies

@@ -178,8 +178,6 @@ def build_reactive_atom(
 
     subtype = ""
     if kind == "sp_or_carbene":
-        from firecode_tpu.ops.algebra import vec_angle as _va  # noqa: PLC0415
-
         angle = float(
             np.degrees(
                 np.arccos(

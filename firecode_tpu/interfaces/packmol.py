@@ -17,7 +17,6 @@ from shutil import which
 import numpy as np
 
 from firecode_tpu.io.xyz import read_xyz, write_xyz
-from firecode_tpu.pt import MASSES
 from firecode_tpu.solvents import normalize_solvent, physical_data
 from firecode_tpu.units import AVOGADRO
 
@@ -121,8 +120,6 @@ end structure
 
 def _native_pack(mol, solvent, edge, n_solvent, embedder, seed: int = 0) -> str:
     """Random placement + batched clash relaxation with the LiteFF LJ term."""
-    import jax.numpy as jnp
-
     from firecode_tpu.calculators import LiteFF
     from firecode_tpu.graphs import get_sum_graph, graphize
     from firecode_tpu.opt import Constraints, optimize_batch
