@@ -1,0 +1,181 @@
+"""Pallas TPU kernel: fused all-pairs QCP minimum-RMSD tiles.
+
+The jnp path (firecode_tpu.ops.rmsd.pairwise_rmsd) materializes the (K, L, 3,
+3) correlation tensor in HBM between the matmul and the Newton stage unless
+XLA fuses it. This kernel keeps everything on-chip: for each (128 x 128) pair
+tile it runs the nine (BK, N) @ (N, BL) correlation matmuls on the MXU with
+accumulators in VMEM, then evaluates the QCP characteristic-quartic Newton
+iteration and the RMSD formula as the epilogue — only the final (BK, BL) RMSD
+tile is written to HBM. HBM traffic per tile drops from 10 to 1 matrices.
+
+Used as the fast path for rmsd-only pruning and as the building block for
+very large pairwise screens; falls back to interpret mode off-TPU (tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+_NEWTON_ITERS = 40
+BK = 128
+BL = 128
+
+
+def _qcp_epilogue(s, ga, gb, wsum):
+    """rmsd tile from the 9 correlation planes. s: dict[(x,y)] -> (BK, BL)."""
+    sxx, sxy, sxz = s[0, 0], s[0, 1], s[0, 2]
+    syx, syy, syz = s[1, 0], s[1, 1], s[1, 2]
+    szx, szy, szz = s[2, 0], s[2, 1], s[2, 2]
+
+    c2 = -2.0 * (
+        sxx * sxx + sxy * sxy + sxz * sxz
+        + syx * syx + syy * syy + syz * syz
+        + szx * szx + szy * szy + szz * szz
+    )
+    c1 = -8.0 * (
+        sxx * (syy * szz - syz * szy)
+        - sxy * (syx * szz - syz * szx)
+        + sxz * (syx * szy - syy * szx)
+    )
+
+    # det of the 4x4 key matrix, expanded in terms of the S entries
+    k00 = sxx + syy + szz
+    k01 = syz - szy
+    k02 = szx - sxz
+    k03 = sxy - syx
+    k11 = sxx - syy - szz
+    k12 = sxy + syx
+    k13 = szx + sxz
+    k22 = -sxx + syy - szz
+    k23 = syz + szy
+    k33 = -sxx - syy + szz
+
+    # complementary-2x2-minors determinant of the symmetric key matrix
+    s0 = k00 * k11 - k01 * k01
+    s1 = k00 * k12 - k01 * k02
+    s2 = k00 * k13 - k01 * k03
+    s3 = k01 * k12 - k11 * k02
+    s4 = k01 * k13 - k11 * k03
+    s5 = k02 * k13 - k12 * k03
+    c5 = k22 * k33 - k23 * k23
+    c4 = k12 * k33 - k23 * k13
+    c3 = k12 * k23 - k22 * k13
+    c2m = k02 * k33 - k23 * k03
+    c1m = k02 * k23 - k22 * k03
+    c0m = k02 * k13 - k12 * k03
+    c0 = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2m - s4 * c1m + s5 * c0m
+
+    lam = 0.5 * (ga + gb)
+
+    def body(_, lam):
+        lam2 = lam * lam
+        p = lam2 * lam2 + c2 * lam2 + c1 * lam + c0
+        dp = 4.0 * lam2 * lam + 2.0 * c2 * lam + c1
+        step = p / jnp.where(jnp.abs(dp) > 1e-30, dp, jnp.inf)
+        return lam - step
+
+    lam = jax.lax.fori_loop(0, _NEWTON_ITERS, body, lam)
+    return jnp.sqrt(jnp.maximum(ga + gb - 2.0 * lam, 0.0) / wsum)
+
+
+def _kernel(ax, ay, az, bx, by, bz, ga, gb, wsum_ref, out):
+    planes = {}
+    a_planes = (ax[:], ay[:], az[:])
+    b_planes = (bx[:], by[:], bz[:])
+    for x in range(3):
+        for y in range(3):
+            planes[x, y] = jnp.dot(
+                a_planes[x], b_planes[y].T, preferred_element_type=jnp.float32
+            )
+    ga_col = ga[0, :][:, None]  # (BK, 1)
+    gb_row = gb[0, :][None, :]  # (1, BL)
+    out[:] = _qcp_epilogue(planes, ga_col, gb_row, wsum_ref[0, 0])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _pairwise_rmsd_pallas_padded(
+    a_planes, b_planes, ga, gb, wsum, interpret: bool
+):
+    """a_planes/b_planes: f32[3, K, N]; ga: f32[1, K]; gb: f32[1, L]."""
+    _, k, n = a_planes.shape
+    l = b_planes.shape[1]
+    grid = (k // BK, l // BL)
+
+    def a_spec(_):
+        return pl.BlockSpec((BK, n), lambda i, j: (i, 0))
+
+    def b_spec(_):
+        return pl.BlockSpec((BL, n), lambda i, j: (j, 0))
+
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            a_spec(0), a_spec(1), a_spec(2),
+            b_spec(0), b_spec(1), b_spec(2),
+            pl.BlockSpec((1, BK), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BL), lambda i, j: (0, j)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BK, BL), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((k, l), jnp.float32),
+        interpret=interpret,
+    )(
+        a_planes[0], a_planes[1], a_planes[2],
+        b_planes[0], b_planes[1], b_planes[2],
+        ga, gb, wsum,
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _prep_and_run(a: jnp.ndarray, b: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """Centering, plane layout, padding and the kernel, all under one jit
+    (eager per-op dispatch is expensive on tunneled backends)."""
+    from firecode_tpu.ops.rmsd import center_coords
+
+    k, n, _ = a.shape
+    l = b.shape[0]
+    ac, ga, wsum = center_coords(a)
+    bc, gb, _ = center_coords(b)
+
+    kp = -(-k // BK) * BK
+    lp = -(-l // BL) * BL
+    npad = -(-n // 128) * 128
+
+    def planes(c, rows, rows_pad):
+        # [rows, n, 3] -> [3, rows_pad, npad]; padded atoms contribute zero
+        p = jnp.transpose(c, (2, 0, 1))
+        return jnp.pad(p, ((0, 0), (0, rows_pad - rows), (0, npad - n)))
+
+    out = _pairwise_rmsd_pallas_padded(
+        planes(ac, k, kp),
+        planes(bc, l, lp),
+        jnp.pad(ga, (0, kp - k))[None, :],
+        jnp.pad(gb, (0, lp - l))[None, :],
+        jnp.full((1, 1), wsum, jnp.float32),
+        interpret,
+    )
+    return out[:k, :l]
+
+
+def pairwise_rmsd_pallas(
+    a: jnp.ndarray, b: jnp.ndarray, interpret: bool | None = None
+) -> jnp.ndarray:
+    """Minimum-RMSD matrix [K, L] via the fused Pallas tile kernel.
+
+    a: [K, N, 3], b: [L, N, 3] (raw coordinates; centering done here).
+    Pads K/L to 128 and N to the lane width; returns the unpadded matrix.
+    Unlike the plain jnp path, the (K, L, 3, 3) correlation tensor is never
+    materialized, so the full matrix fits at sizes where the XLA path OOMs
+    (e.g. 25 GB at K = L = 4096).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    return _prep_and_run(a, b, interpret)
