@@ -105,6 +105,14 @@ class Embedder:
         self._apply_operators()
         self._setup()
 
+    @property
+    def mols(self) -> dict:
+        """Library API: deep copies of the molecule objects keyed by filename
+        (reference embedder.py:220-223)."""
+        import copy
+
+        return {mol.filename: copy.deepcopy(mol) for mol in self.objects}
+
     # ------------------------------------------------------------ logging
 
     def log(self, string: str = "", p: bool = True) -> None:

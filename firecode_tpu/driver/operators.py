@@ -22,6 +22,16 @@ from firecode_tpu.errors import InputError, MissingExternalError
 from firecode_tpu.io.xyz import write_xyz
 
 
+# user-registered operators (plugin contract, reference paper.md:86-112):
+# each operator is f(filename, embedder) -> outname
+_CUSTOM_OPERATORS: dict[str, object] = {}
+
+
+def register_operator(name: str, func) -> None:
+    """Register a custom operator usable as `name>` in input files."""
+    _CUSTOM_OPERATORS[name.lower()] = func
+
+
 def operate(filename: str, operator: str, embedder) -> str | None:
     """Dispatch an operator string like 'csearch' or 'scan(5.0)'."""
     op_name = operator.split("(")[0].strip().lower()
@@ -45,10 +55,11 @@ def operate(filename: str, operator: str, embedder) -> str | None:
         "rsearch": rsearch_operator,
         "fsm": fsm_operator,
     }
-    func = table.get(op_name)
+    func = _CUSTOM_OPERATORS.get(op_name) or table.get(op_name)
     if func is None:
         raise InputError(
-            f"Operator '{op_name}' not recognized. Known: {sorted(table)}"
+            f"Operator '{op_name}' not recognized. "
+            f"Known: {sorted(set(table) | set(_CUSTOM_OPERATORS))}"
         )
     t0 = time.perf_counter()
     embedder.log(f"--> Running {op_name}> operator on {filename}")
@@ -229,15 +240,24 @@ def neb_operator(filename: str, embedder) -> str:
         ends = np.asarray(res.coords, dtype=np.float64)
         start, end = ends[0], ends[1]
 
-    result = run_neb(
-        calc,
-        start,
-        end,
-        n_images=n_images,
-        ts_guess=ts_guess,
-        climbing_image=neb_options.climbing_image if neb_options else True,
-        logfunction=lambda s: embedder.log(s, p=False),
-    )
+    # up to 3 attempts, each restarting from the previous band (reference
+    # restart-from-checkpoint logic, firecode/operators.py:349-394)
+    band = None
+    for attempt in range(3):
+        result = run_neb(
+            calc,
+            start,
+            end,
+            n_images=n_images,
+            ts_guess=ts_guess,
+            images=band,
+            climbing_image=neb_options.climbing_image if neb_options else True,
+            logfunction=lambda s: embedder.log(s, p=False),
+        )
+        if result.converged:
+            break
+        band = result.images
+        embedder.log(f"    NEB attempt {attempt + 1} hit MAX ITER - restarting from the current band")
     barrier = result.ts_energy - result.energies[0]
     embedder.log(
         f"    NEB {'converged' if result.converged else 'MAX ITER'}: TS is image "

@@ -529,9 +529,9 @@ def multiembed_dispatcher(embedder) -> np.ndarray:
     (firecode/multiembed.py:23-159): each arrangement becomes a cyclical
     embed with 2 reactive atoms per molecule; results are concatenated."""
     mol1, mol2 = embedder.objects
-    from itertools import combinations
-
     import copy
+    from itertools import combinations
+    from types import SimpleNamespace
 
     pairs1 = list(combinations([int(i) for i in mol1.reactive_indices], 2))
     pairs2 = list(combinations([int(i) for i in mol2.reactive_indices], 2))
@@ -542,7 +542,6 @@ def multiembed_dispatcher(embedder) -> np.ndarray:
     for p1 in pairs1:
         for p2 in pairs2:
             n_arr += 1
-            sub = copy.copy(embedder)
             sub_objects = []
             for mol, rp in ((mol1, p1), (mol2, p2)):
                 m = copy.copy(mol)
@@ -553,11 +552,21 @@ def multiembed_dispatcher(embedder) -> np.ndarray:
                 m.compute_orbitals()
                 m.set_pivots(suprafacial=embedder.options.suprafacial)
                 sub_objects.append(m)
-            sub.objects = sub_objects
             offset = 0
             for m in sub_objects:
                 m.set_cumnums(offset)
                 offset += m.n_atoms
+            # lightweight embed context: exactly what cyclical_embed consumes
+            sub = SimpleNamespace(
+                objects=sub_objects,
+                ids=np.array([m.n_atoms for m in sub_objects]),
+                options=embedder.options,
+                systematic_angles=embedder.systematic_angles,
+                pairings_table=embedder.pairings_table,
+                internal_constraints=embedder.internal_constraints,
+                log=embedder.log,
+                constrained_indices=None,
+            )
             try:
                 poses = cyclical_embed(sub)
                 all_poses.append(poses)

@@ -95,3 +95,33 @@ def test_multiembed_dispatcher():
     assert poses.shape[1:] == (16, 3)
     assert len(poses) >= 1
     assert len(emb.constrained_indices) == len(poses)
+
+
+def test_multiembed_through_driver(tmp_path, rng):
+    """Full driver run dispatching to multiembed (>=2 reactive centers each,
+    not a plain cyclical setup)."""
+    import os
+
+    import pytest as _pytest
+
+    from firecode_tpu.io.xyz import write_xyz
+    from firecode_tpu.pt import symbols_from_atomnos
+
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        write_xyz(tmp_path / "bd.xyz", symbols_from_atomnos(BUTADIENE_Z), BUTADIENE)
+        write_xyz(tmp_path / "eth.xyz", symbols_from_atomnos(ETHENE_Z), ETHENE)
+        (tmp_path / "input.txt").write_text(
+            "STEPS=1 KCAL=50\nbd.xyz 0 1 2 3\neth.xyz 0 1\n"
+        )
+        from firecode_tpu.driver import Embedder
+
+        with _pytest.raises(SystemExit) as exc:
+            emb = Embedder(str(tmp_path / "input.txt"), stamp="me")
+            assert emb.embed == "multiembed"
+            emb.run()
+        assert exc.value.code == 0
+        assert (tmp_path / "firecode_final_ensemble_me.xyz").exists()
+    finally:
+        os.chdir(old)
