@@ -111,9 +111,14 @@ def build_ff_topology(
             graph.add_edge(int(a), int(b))
 
     bonds = sorted(tuple(sorted(e)) for e in graph.edges)
-    bond_r0 = [
-        COVALENT_RADII[atomnos[i]] + COVALENT_RADII[atomnos[j]] for i, j in bonds
-    ]
+    # equilibrium lengths from the perceived input geometry (robust across
+    # bond orders: a covalent-radii sum would stretch C=C/C=O by ~0.2 A),
+    # sanity-clamped to +-15% of the radii sum
+    bond_r0 = []
+    for i, j in bonds:
+        measured = float(np.linalg.norm(coords[i] - coords[j]))
+        ref = float(COVALENT_RADII[atomnos[i]] + COVALENT_RADII[atomnos[j]])
+        bond_r0.append(min(max(measured, 0.85 * ref), 1.15 * ref))
 
     angles, angle_cos0 = [], []
     for c in graph.nodes:

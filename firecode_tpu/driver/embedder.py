@@ -1071,7 +1071,9 @@ class RunEmbedding:
 
         spring_k = 500.0 if only_fixed_constraints else 250.0
         groups = self._constraint_groups(only_fixed_constraints)
-        dtype = np.float64 if self.structures.dtype == np.float64 else np.float32
+        # device work runs in the configured dtype (float32 on TPU; tests
+        # force float64 via FIRECODE_TPU_DTYPE for oracle parity)
+        dtype = np.dtype(os.environ.get("FIRECODE_TPU_DTYPE", "float32"))
 
         for (sig, ez_sig), indices in groups.items():
             cons = Constraints()
