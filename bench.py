@@ -46,34 +46,34 @@ def make_ensemble(n_confs: int, seed: int = 0):
 
     graph = graphize(atomnos, np.asarray(base))
     torsions = find_torsions(graph, atomnos, np.asarray(base))
+    quads = jnp.asarray(np.stack([t.quadruplet for t in torsions]))
+    masks = jnp.asarray(np.stack([t.mask for t in torsions]))
 
-    distinct = jnp.broadcast_to(base, (n_distinct, n_atoms, 3))
-    keys = jax.random.split(k1, len(torsions))
-    for t, torsion in enumerate(torsions):
-        angles = jax.random.choice(
-            keys[t], jnp.asarray([0.0, 120.0, 240.0], jnp.float32), (n_distinct,)
-        )
-        distinct = rotate_dihedral(
-            distinct,
-            jnp.asarray(torsion.quadruplet),
-            angles,
-            jnp.asarray(torsion.mask),
-        )
+    @jax.jit
+    def generate(base, k1, k2, k3, k4):
+        # ONE compiled program for the whole generation pipeline (per-op
+        # eager dispatch is expensive on tunneled backends)
+        from firecode_tpu.ops.algebra import quaternion_to_matrix
 
-    reps = jnp.repeat(distinct, 4, axis=0)[:n_confs]
-    reps = reps + 0.02 * jax.random.normal(k2, reps.shape, jnp.float32)
+        distinct = jnp.broadcast_to(base, (n_distinct, n_atoms, 3))
+        keys = jax.random.split(k1, len(torsions))
+        for t in range(len(torsions)):
+            angles = jax.random.choice(
+                keys[t], jnp.asarray([0.0, 120.0, 240.0], jnp.float32), (n_distinct,)
+            )
+            distinct = rotate_dihedral(distinct, quads[t], angles, masks[t])
 
-    # random rigid rotation + translation per conformer
-    quat = jax.random.normal(k3, (n_confs, 4), jnp.float32)
-    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
-    from firecode_tpu.ops.algebra import quaternion_to_matrix
+        reps = jnp.repeat(distinct, 4, axis=0)[:n_confs]
+        reps = reps + 0.02 * jax.random.normal(k2, reps.shape, jnp.float32)
 
-    rot = quaternion_to_matrix(quat)
-    shift = 10.0 * jax.random.normal(k4, (n_confs, 1, 3), jnp.float32)
-    coords = jnp.einsum("bxy,bny->bnx", rot, reps) + shift
+        quat = jax.random.normal(k3, (n_confs, 4), jnp.float32)
+        quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+        rot = quaternion_to_matrix(quat)
+        shift = 10.0 * jax.random.normal(k4, (n_confs, 1, 3), jnp.float32)
+        coords = jnp.einsum("bxy,bny->bnx", rot, reps) + shift
+        return coords[jax.random.permutation(k1, n_confs)]
 
-    perm = jax.random.permutation(k1, n_confs)
-    return atomnos, np.asarray(coords[perm])
+    return atomnos, generate(base, k1, k2, k3, k4)
 
 
 def run_cascade(coords, atomnos: np.ndarray, block: int) -> tuple[int, float]:

@@ -6,8 +6,8 @@ optimization, transition-state search, and quasi-RRHO thermochemistry), designed
 for TPU hardware: ensembles are HBM-resident batched arrays, hot kernels are
 vmapped/tiled on device, and multi-chip scaling rides `jax.sharding` meshes.
 
-Reference capability map: see /root/repo/SURVEY.md (structural analysis of the
-CPU reference implementation).
+Reference capability map: see PARITY.md; structural analysis of the CPU
+reference: SURVEY.md.
 """
 
 __version__ = "0.1.0"
@@ -15,4 +15,47 @@ __version__ = "0.1.0"
 from firecode_tpu.ensemble import Ensemble
 from firecode_tpu.pt import pt
 
-__all__ = ["Ensemble", "pt", "__version__"]
+
+def __getattr__(name):
+    # lazy top-level API: keep `import firecode_tpu` light (no jax import)
+    if name == "csearch":
+        from firecode_tpu.csearch import csearch
+
+        return csearch
+    if name in ("prune_by_rmsd", "prune_by_moi", "prune_by_rmsd_rot_corr", "prune_by_tfd"):
+        import firecode_tpu.prune as prune
+
+        return getattr(prune, name)
+    if name == "optimize_batch":
+        from firecode_tpu.opt import optimize_batch
+
+        return optimize_batch
+    if name == "LiteFF":
+        from firecode_tpu.calculators import LiteFF
+
+        return LiteFF
+    if name == "Embedder":
+        from firecode_tpu.driver import Embedder
+
+        return Embedder
+    if name == "Hypermolecule":
+        from firecode_tpu.embed import Hypermolecule
+
+        return Hypermolecule
+    raise AttributeError(f"module 'firecode_tpu' has no attribute {name!r}")
+
+
+__all__ = [
+    "Ensemble",
+    "pt",
+    "csearch",
+    "prune_by_rmsd",
+    "prune_by_moi",
+    "prune_by_rmsd_rot_corr",
+    "prune_by_tfd",
+    "optimize_batch",
+    "LiteFF",
+    "Embedder",
+    "Hypermolecule",
+    "__version__",
+]

@@ -42,7 +42,7 @@ class Dispatcher:
     ) -> Calculator:
         """Build a batched calculator for the given system."""
         if self.calculator == "LITEFF":
-            calc = LiteFF(atomnos, coords, graph=graph)
+            calc = LiteFF(atomnos, coords, graph=graph, charge=charge)
             if solvent is not None:
                 from firecode_tpu.calculators.solvation import solvate
 

@@ -68,6 +68,7 @@ class FFTopology(NamedTuple):
     nb_scale: jnp.ndarray  # f[N, N] 0 for 1-2/1-3/self, 0.5 for 1-4, 1 else
     lj_x: jnp.ndarray  # f[N, N] pair minimum distance
     lj_d: jnp.ndarray  # f[N, N] pair well depth
+    charges: jnp.ndarray  # f[N] fixed QEq partial charges (zeros = off)
 
 
 def _ideal_cos0(el: str, degree: int) -> float:
@@ -92,6 +93,8 @@ def build_ff_topology(
     coords: np.ndarray,
     extra_bonds: list[tuple[int, int]] | None = None,
     graph=None,
+    charge: int = 0,
+    electrostatics: bool = True,
 ) -> FFTopology:
     """Perceive bonded topology from one conformer and build device tables.
 
@@ -165,6 +168,25 @@ def build_ff_topology(
     lj_x = np.sqrt(x[:, None] * x[None, :])
     lj_d = np.sqrt(d[:, None] * d[None, :])
 
+    # fixed QEq partial charges from the input conformer: with 1-2/1-3
+    # exclusions these leave bonded geometry untouched but give
+    # conformational electrostatics (H-bonds, dipole alignment)
+    if electrostatics:
+        import jax.numpy as _jnp
+
+        from firecode_tpu.calculators.solvation import CHI, ETA, qeq_charges
+
+        charges = np.asarray(
+            qeq_charges(
+                _jnp.asarray(coords, _jnp.float64),
+                _jnp.asarray(CHI[atomnos]),
+                _jnp.asarray(ETA[atomnos]),
+                float(charge),
+            )
+        )
+    else:
+        charges = np.zeros(n)
+
     def arr(a, dtype=np.float64):
         return jnp.asarray(np.asarray(a, dtype=dtype))
 
@@ -185,6 +207,7 @@ def build_ff_topology(
         nb_scale=arr(scale),
         lj_x=arr(lj_x),
         lj_d=arr(lj_d),
+        charges=arr(charges),
     )
 
 
@@ -237,8 +260,9 @@ def ff_energy(coords: jnp.ndarray, top: FFTopology) -> jnp.ndarray:
             0.5 * top.torsion_v * (1.0 + top.torsion_sign * jnp.cos(top.torsion_n * phi))
         )
 
-    # LJ nonbonded (UFF form), scaled exclusions, symmetric matrix halved.
-    # Excluded pairs get a safe distance so 0 * inf never reaches the grad.
+    # nonbonded: UFF LJ + Coulomb over the same scaled exclusions, symmetric
+    # matrices halved. Excluded pairs get a safe distance so 0 * inf never
+    # reaches the grad.
     diff = coords[:, None, :] - coords[None, :, :]
     r2 = jnp.sum(diff * diff, axis=-1)
     active = top.nb_scale > 0
@@ -246,6 +270,8 @@ def ff_energy(coords: jnp.ndarray, top: FFTopology) -> jnp.ndarray:
     x2 = top.lj_x * top.lj_x
     s6 = (x2 / r2_safe) ** 3
     e_pair = top.lj_d * (s6 * s6 - 2.0 * s6) * top.nb_scale
+    qq = top.charges[:, None] * top.charges[None, :]
+    e_pair = e_pair + 332.0637 * qq / jnp.sqrt(r2_safe) * top.nb_scale
     e = e + 0.5 * jnp.sum(jnp.where(active, e_pair, 0.0))
 
     return e
@@ -254,7 +280,18 @@ def ff_energy(coords: jnp.ndarray, top: FFTopology) -> jnp.ndarray:
 class LiteFF(Calculator):
     """Calculator facade over ff_energy with a fixed topology."""
 
-    def __init__(self, atomnos: np.ndarray, coords: np.ndarray, extra_bonds=None, graph=None):
-        self.topology = build_ff_topology(atomnos, coords, extra_bonds, graph=graph)
+    def __init__(
+        self,
+        atomnos: np.ndarray,
+        coords: np.ndarray,
+        extra_bonds=None,
+        graph=None,
+        charge: int = 0,
+        electrostatics: bool = True,
+    ):
+        self.topology = build_ff_topology(
+            atomnos, coords, extra_bonds, graph=graph, charge=charge,
+            electrostatics=electrostatics,
+        )
         top = self.topology
         super().__init__(lambda c: ff_energy(c, top), name="liteff")

@@ -25,6 +25,43 @@ DEFAULT_ANGLE_K = 100.0  # kcal/mol/rad^2-like
 DEFAULT_DIHEDRAL_K = 50.0  # kcal/mol
 
 
+def new_bond_preventer(atomnos, graph, k: float = 100.0, factor: float = 1.1):
+    """Penalty energy keeping currently-nonbonded pairs from forming bonds.
+
+    Reference NewBondPreventer (firecode/ase_manipulations.py:342): a
+    repulsive half-spring activates when a nonbonded pair gets closer than
+    factor * (r_i + r_j). Returns a pure energy fn to compose onto a
+    calculator via Calculator.with_extra.
+    """
+    import networkx as nx
+    import numpy as np
+
+    from firecode_tpu.pt import COVALENT_RADII
+
+    atomnos = np.asarray(atomnos)
+    n = len(atomnos)
+    radii = COVALENT_RADII[atomnos]
+    cutoff = factor * (radii[:, None] + radii[None, :])
+    nonbonded = ~np.eye(n, dtype=bool)
+    for i, j in graph.edges:
+        nonbonded[i, j] = nonbonded[j, i] = False
+    # 1-3 pairs are held by angle terms, leave them out too
+    for path in nx.all_pairs_shortest_path_length(graph, cutoff=2):
+        i, dists = path
+        for j, d in dists.items():
+            if d == 2:
+                nonbonded[i, j] = nonbonded[j, i] = False
+    cutoff_j = jnp.asarray(np.where(nonbonded, cutoff, 0.0))
+
+    def energy(coords: jnp.ndarray) -> jnp.ndarray:
+        diff = coords[:, None, :] - coords[None, :, :]
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        under = jnp.maximum(cutoff_j.astype(coords.dtype) - d, 0.0)
+        return 0.5 * 0.5 * k * jnp.sum(under * under)  # halve: symmetric sum
+
+    return energy
+
+
 @dataclass
 class Constraints:
     """Padded constraint tables; build with the `add_*` helpers then `freeze`."""

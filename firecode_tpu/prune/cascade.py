@@ -381,9 +381,10 @@ def _make_moi_sim(rel_tol, max_dE) -> SimFn:
 
 @partial(jax.jit, static_argnames=("block", "has_energies"))
 def _prune_moi_device(
-    moments, energies, rel_tol, max_dE, block: int, has_energies: bool
+    coords, masses, energies, rel_tol, max_dE, block: int, has_energies: bool
 ) -> jnp.ndarray:
-    b = moments.shape[0]
+    b = coords.shape[0]
+    moments = inertia_moments(coords, masses)
     feats = {"m": moments}
     if has_energies:
         feats["energies"] = energies
@@ -407,12 +408,12 @@ def prune_by_moi(
     if b <= 1:
         return np.ones(b, dtype=bool)
     masses = jnp.asarray(MASSES[np.asarray(atomnos)], dtype=coords.dtype)
-    moments = inertia_moments(coords, masses)
     block = min(block, _pow2_at_most(b))
     has_energies = energies is not None
     e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
     keep = _prune_moi_device(
-        moments,
+        coords,
+        masses,
         e,
         jnp.asarray(rel_tol, coords.dtype),
         jnp.asarray(max_dE, coords.dtype),
@@ -433,8 +434,9 @@ def _make_tfd_sim(thresh, max_dE) -> SimFn:
 
 
 @partial(jax.jit, static_argnames=("block", "has_energies"))
-def _prune_tfd_device(tf, energies, thresh, max_dE, block: int, has_energies: bool):
-    b = tf.shape[0]
+def _prune_tfd_device(coords, quadruplets, energies, thresh, max_dE, block: int, has_energies: bool):
+    b = coords.shape[0]
+    tf = torsion_fingerprints(coords, quadruplets)
     feats = {"tf": tf}
     if has_energies:
         feats["energies"] = energies
@@ -458,12 +460,12 @@ def prune_by_tfd(
     quadruplets = np.asarray(quadruplets, dtype=np.int32)
     if b <= 1 or quadruplets.size == 0:
         return np.ones(b, dtype=bool)
-    tf = torsion_fingerprints(coords, jnp.asarray(quadruplets))
     block = min(block, _pow2_at_most(b))
     has_energies = energies is not None
     e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
     keep = _prune_tfd_device(
-        tf,
+        coords,
+        jnp.asarray(quadruplets),
         e,
         jnp.asarray(thresh, coords.dtype),
         jnp.asarray(max_dE, coords.dtype),

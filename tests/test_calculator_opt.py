@@ -103,3 +103,53 @@ def test_ethane_torsion_relaxes_to_staggered(rng):
     # staggered: +-60 or 180
     dist_to_staggered = min(abs(abs(phi) - 60.0), abs(abs(phi) - 180.0))
     assert dist_to_staggered < 5.0, phi
+
+
+def test_electrostatics_water_dimer_hbond(rng):
+    """With QEq charges, a water dimer prefers the H-bonded arrangement."""
+    import jax.numpy as jnp
+
+    w1 = WATER
+    dimer_z = np.concatenate([WATER_Z, WATER_Z])
+    # H-bonded-ish: second water along +x, donor H pointing at the acceptor O
+    w2_h = WATER + np.array([3.4, 0.0, 0.0])
+    hbonded = np.concatenate([w1, w2_h])
+    # flipped: second water rotated 180 deg, H's pointing away
+    w2_f = (WATER - WATER[0]) @ np.diag([-1.0, -1.0, 1.0]) + WATER[0] + np.array(
+        [3.4, 0.0, 0.0]
+    )
+    flipped = np.concatenate([w1, w2_f])
+    far = np.concatenate([w1, WATER + np.array([40.0, 0.0, 0.0])])
+
+    from firecode_tpu.graphs import get_sum_graph, graphize
+
+    graph = get_sum_graph([graphize(WATER_Z, w1), graphize(WATER_Z, w1)])
+    calc = LiteFF(dimer_z, hbonded, graph=graph)
+    e_hb = float(calc.energy(jnp.asarray(hbonded)))
+    e_flip = float(calc.energy(jnp.asarray(flipped)))
+    e_far = float(calc.energy(jnp.asarray(far)))
+    assert e_hb - e_far < -2.0  # attractive H-bond, right magnitude
+    assert e_flip > e_hb  # orientation preference from the charges
+
+
+def test_new_bond_preventer(rng):
+    from firecode_tpu.graphs import graphize
+    from firecode_tpu.opt.constraints import new_bond_preventer
+    import jax.numpy as jnp
+
+    atomnos, coords = np.array([8, 1, 1], np.int32), WATER
+    graph = graphize(atomnos, coords)
+    pen = new_bond_preventer(atomnos, graph)
+    # bonded geometry: no penalty
+    assert float(pen(jnp.asarray(coords))) == 0.0
+    # H pushed onto O of... H close to the other H (nonbonded 1-3 excluded)
+    # -> use a 4-atom case: two H2 molecules close together
+    z2 = np.array([1, 1, 1, 1], np.int32)
+    h2a = np.array([[0.0, 0, 0], [0.74, 0, 0]])
+    h2b = h2a + np.array([0.9, 0.0, 0.0])  # overlapping pair across molecules
+    pair = np.concatenate([h2a, h2b])
+    from firecode_tpu.graphs import get_sum_graph
+
+    g2 = get_sum_graph([graphize(z2[:2], h2a), graphize(z2[2:], h2a)])
+    pen2 = new_bond_preventer(z2, g2)
+    assert float(pen2(jnp.asarray(pair))) > 0.0
