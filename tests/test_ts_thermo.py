@@ -132,3 +132,25 @@ def test_interpolate_band_shapes():
     band2 = interpolate_band(a, b, 8, ts_guess=mid)
     assert band2.shape == (8, 4, 3)
     np.testing.assert_allclose(band2[4], mid)
+
+
+def test_thermo_literature_values():
+    """Sackur-Tetrode and rigid-rotor entropies vs textbook water values."""
+    from firecode_tpu.thermo import rotational_entropy, translational_entropy
+
+    # S_trans(H2O, 298.15 K, 1 atm) = 34.61 cal/(mol K)
+    s_t = translational_entropy(18.015, 298.15, P_atm=1.0) * 1000
+    assert abs(s_t - 34.61) < 0.1
+    # S_rot(H2O, sigma=2) ~ 10.4 cal/(mol K) (geometry-dependent)
+    s_r = rotational_entropy(WATER, WATER_Z, 298.15, sigma=2) * 1000
+    assert abs(s_r - 10.4) < 0.3
+    # solution reference state (1 M) lowers S_trans vs 1 atm gas
+    s_sol = translational_entropy(18.015, 298.15, C_mol_l=1.0) * 1000
+    assert s_sol < s_t
+
+
+def test_dryrun_multichip_entry():
+    """The driver-validated multi-chip path keeps working."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(4)
