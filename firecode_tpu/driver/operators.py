@@ -36,24 +36,38 @@ def operate(filename: str, operator: str, embedder) -> str | None:
     """Dispatch an operator string like 'csearch' or 'scan(5.0)'."""
     op_name = operator.split("(")[0].strip().lower()
     table = {
+        # native conformer searches (reference names + short aliases)
         "csearch": csearch_operator,
+        "firecode_search": csearch_operator,
         "csearch_hb": csearch_hb_operator,
+        "firecode_search_hb": csearch_hb_operator,
+        "rsearch": rsearch_operator,
+        "firecode_rsearch": rsearch_operator,
         "confab": csearch_operator,
+        # refinement / TS / thermo
         "opt": opt_operator,
         "refine": refine_operator,
         "neb": neb_operator,
+        "fsm": fsm_operator,
+        "mlfsm": fsm_operator,
         "scan": scan_operator,
         "saddle": saddle_operator,
+        "ts": saddle_operator,
         "freq": freq_operator,
+        "thermo": freq_operator,
         "pka": pka_operator,
+        # external engines (gated)
         "mtd": crest_operator,
-        "crest": crest_operator,
         "mtd_search": crest_operator,
+        "crest": crest_operator,
+        "crest_search": crest_operator,
         "goat": goat_operator,
+        "rdkit": rdkit_search_operator,
+        "rdkit_search": rdkit_search_operator,
+        "racerts": rdkit_search_operator,
+        "racerts_search": rdkit_search_operator,
         "packmol": packmol_operator,
         "equilibrate": equilibrate_operator,
-        "rsearch": rsearch_operator,
-        "fsm": fsm_operator,
     }
     func = _CUSTOM_OPERATORS.get(op_name) or table.get(op_name)
     if func is None:
@@ -267,6 +281,21 @@ def neb_operator(filename: str, embedder) -> str:
     write_xyz(mep_name, mol.atoms, result.images, energies=None)
     outname = f"{Path(filename).stem}_TS.xyz"
     write_xyz(outname, mol.atoms, result.ts_coords)
+    return outname
+
+
+def rdkit_search_operator(filename: str, embedder) -> str:
+    """ETKDG conformer generation via rdkit (gated; constrained searches map
+    to the same entry — reference rdkit_tools.py:48-124, racerts delegation)."""
+    from firecode_tpu.rdkit_tools import etkdg_conformers
+
+    mol = _mol_for(filename, embedder)
+    confs = etkdg_conformers(
+        mol.atomnos, mol.coords[0], n_confs=embedder.options.max_confs
+    )
+    outname = f"{Path(filename).stem}_rdkit_confs.xyz"
+    write_xyz(outname, mol.atoms, confs)
+    embedder.log(f"    ETKDG generated {len(confs)} conformers -> {outname}")
     return outname
 
 
