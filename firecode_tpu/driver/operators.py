@@ -382,10 +382,11 @@ def _distance_scan(mol, pair, embedder, step: float = -0.05) -> str:
     return outname
 
 
-def _dihedral_scan(mol, quad, embedder, n_points: int = 36) -> str:
+def _dihedral_scan(mol, quad, embedder, n_points: int | None = None) -> str:
     from firecode_tpu.opt import Constraints, optimize_batch
     from firecode_tpu.prune.oracle import np_dihedral
 
+    n_points = n_points or embedder.options.custom_rotation_steps or 36
     calc = _get_calc(embedder, mol)
     coords = mol.coords[0].copy()
     phi0 = np_dihedral(coords[list(quad)])

@@ -73,12 +73,47 @@ def build_constraints(specs, coords):
     return cons
 
 
+def _inquire(parser, args):
+    """Guided prompt flow (reference standalone_optimizer.py:356 analog)."""
+    import glob
+    import sys
+
+    if not sys.stdin.isatty() and not args.files:
+        parser.print_help()
+        raise SystemExit(1)
+
+    if not args.files:
+        pattern = input("xyz file(s) or glob pattern: ").strip()
+        args.files = sorted(glob.glob(pattern)) or [pattern]
+    job = input("job [opt/sp/saddle/freq] (default opt): ").strip().lower()
+    if job == "sp":
+        args.sp = True
+    elif job == "saddle":
+        args.saddle = True
+        if input("follow with IRC? [y/N]: ").strip().lower() == "y":
+            args.irc = True
+    elif job == "freq":
+        args.freq = True
+    charge = input("charge (default from filename +/- signs): ").strip()
+    if charge:
+        args.charge = int(charge)
+    solvent = input("solvent (default none): ").strip()
+    if solvent:
+        args.solvent = solvent
+    return args
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         prog="firecode-tpu-opt",
         description="Batched optimizer: opt/SP/saddle/IRC/freq on .xyz files.",
     )
-    parser.add_argument("files", nargs="+", help="multi-conformer .xyz files")
+    parser.add_argument("files", nargs="*", help="multi-conformer .xyz files")
+    parser.add_argument(
+        "-i", "--interactive", action="store_true",
+        help="prompt for files and job options (reference firecode_opt "
+        "interactive mode)",
+    )
     parser.add_argument("--sp", action="store_true", help="single-point only")
     parser.add_argument("--saddle", action="store_true", help="saddle-point search")
     parser.add_argument("--irc", action="store_true", help="IRC from the saddle")
@@ -91,6 +126,9 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("-T", type=float, default=298.15)
     args = parser.parse_args(argv)
+
+    if args.interactive or not args.files:
+        args = _inquire(parser, args)
 
     if args.cpu:
         import jax

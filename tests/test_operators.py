@@ -106,3 +106,30 @@ def test_ezprot_keyword(rundir):
         {"eth.xyz": (ETHENE_Z, confs)},
     )
     assert (rundir / "firecode_final_ensemble_test.xyz").exists()
+
+
+@pytest.mark.operator
+def test_chained_operators_run(rundir):
+    """Operator chains compose right-to-left (f> g> x = f(g(x))):
+    opt runs first, then csearch on the optimized molecule."""
+    atomnos, coords = build_alkane(5)
+    run_input(
+        rundir,
+        "NOOPT CONFS=20\ncsearch> opt> pentane.xyz\n",
+        {"pentane.xyz": (atomnos, coords)},
+    )
+    assert (rundir / "pentane_opt.xyz").exists()
+    assert (rundir / "pentane_opt_confs.xyz").exists()
+
+
+@pytest.mark.operator
+def test_scan_then_saddle_chain(rundir):
+    atomnos, coords = build_alkane(4)
+    run_input(
+        rundir,
+        "NOOPT STEPS=12\nsaddle> scan> but.xyz\n D 0 1 2 3\n",
+        {"but.xyz": (atomnos, coords)},
+    )
+    assert (rundir / "but_scan_peak.xyz").exists()
+    # saddle ran on the scan peak output (composition: saddle(scan(x)))
+    assert (rundir / "but_scan_peak_saddle.xyz").exists()
