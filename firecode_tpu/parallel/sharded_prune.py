@@ -29,14 +29,9 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from firecode_tpu.ops.rmsd import (
-    _pairwise_correlation,
-    _qcp_lambda_max,
-    _rmsd_from_lambda,
-    center_coords,
-)
+from firecode_tpu.ops.rmsd import center_coords
 from firecode_tpu.parallel.mesh import ensemble_mesh
-from firecode_tpu.prune.cascade import _resolve_block_greedy
+from firecode_tpu.prune.cascade import _resolve_block_greedy, _rmsd_maxdev_block
 
 
 def _shard_pad(b: int, block: int, n_dev: int) -> int:
@@ -52,12 +47,13 @@ def prune_by_rmsd_sharded(
     max_dE: float = 1.0,
     block: int = 512,
     mesh: Mesh | None = None,
+    use_maxdev: bool = True,
 ) -> np.ndarray:
     """Greedy RMSD keep mask with the column axis sharded over the mesh.
 
-    Uses the plain rmsd < thr criterion (no max-deviation term): the rotation
-    recovery is kept on the single-chip path; the sharded kernel is the
-    scale-out path for very large B where rmsd-only screening dominates.
+    Same double criterion as the single-chip path (rmsd < thr AND max
+    deviation < 2*thr when use_maxdev) — keep-lists are bit-identical to
+    prune_by_rmsd for any device count.
     """
     coords = jnp.asarray(coords)
     b = coords.shape[0]
@@ -88,6 +84,7 @@ def prune_by_rmsd_sharded(
         wsum,
         block,
         has_energies,
+        use_maxdev,
         mesh,
     )
     return np.asarray(keep)[:b]
@@ -95,10 +92,11 @@ def prune_by_rmsd_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("block", "has_energies", "mesh"),
+    static_argnames=("block", "has_energies", "use_maxdev", "mesh"),
 )
 def _prune_rmsd_sharded_jit(
-    centered, g, e, valid, thr, max_dE, wsum, block: int, has_energies: bool, mesh: Mesh
+    centered, g, e, valid, thr, max_dE, wsum, block: int, has_energies: bool,
+    use_maxdev: bool, mesh: Mesh
 ):
     n_dev = mesh.devices.size
     bp = centered.shape[0]
@@ -136,10 +134,12 @@ def _prune_rmsd_sharded_jit(
                 col_e = lax.dynamic_slice_in_dim(e_sh, cs, block, 0)
                 col_keep = lax.dynamic_slice_in_dim(keep_sh, cs, block, 0)
                 col_global = my * shard + cs + jnp.arange(block)
-                s = _pairwise_correlation(col_c, row_c)
-                lam = _qcp_lambda_max(s, col_g[:, None], row_g[None, :])
-                rmsd = _rmsd_from_lambda(col_g[:, None], row_g[None, :], lam, wsum)
+                rmsd, maxdev = _rmsd_maxdev_block(
+                    col_c, col_g, row_c, row_g, wsum, use_maxdev, thr=thr
+                )
                 sim = rmsd < thr
+                if maxdev is not None:
+                    sim = sim & (maxdev < 2.0 * thr)
                 if has_energies:
                     sim = sim & (jnp.abs(col_e[:, None] - row_e[None, :]) < max_dE)
                 earlier = (col_global < start)[:, None]
@@ -154,10 +154,12 @@ def _prune_rmsd_sharded_jit(
             dead = lax.psum(dead.astype(jnp.int32), "ens").astype(bool)
 
             # within-block greedy (replicated, deterministic)
-            s = _pairwise_correlation(row_c, row_c)
-            lam = _qcp_lambda_max(s, row_g[:, None], row_g[None, :])
-            rmsd = _rmsd_from_lambda(row_g[:, None], row_g[None, :], lam, wsum)
+            rmsd, maxdev = _rmsd_maxdev_block(
+                row_c, row_g, row_c, row_g, wsum, use_maxdev, thr=thr
+            )
             sim_in = rmsd < thr
+            if maxdev is not None:
+                sim_in = sim_in & (maxdev < 2.0 * thr)
             if has_energies:
                 sim_in = sim_in & (
                     jnp.abs(row_e[:, None] - row_e[None, :]) < max_dE

@@ -19,7 +19,7 @@ def test_sharded_prune_matches_single_device(rng):
     ens = _duplicate_heavy_ensemble(rng)
     mesh = ensemble_mesh(8)
     got = prune_by_rmsd_sharded(ens, rmsd_thr=0.5, block=4, mesh=mesh)
-    want = prune_by_rmsd(ens, rmsd_thr=0.5, use_maxdev=False, block=4)
+    want = prune_by_rmsd(ens, rmsd_thr=0.5, block=4)
     np.testing.assert_array_equal(got, want)
     assert got.sum() < len(ens)
 
@@ -29,9 +29,7 @@ def test_sharded_prune_with_energies(rng):
     energies = rng.normal(size=len(ens)) * 3.0
     mesh = ensemble_mesh(8)
     got = prune_by_rmsd_sharded(ens, energies=energies, block=2, mesh=mesh)
-    want = prune_by_rmsd(
-        ens, energies=energies, use_maxdev=False, block=2
-    )
+    want = prune_by_rmsd(ens, energies=energies, block=2)
     np.testing.assert_array_equal(got, want)
 
 
