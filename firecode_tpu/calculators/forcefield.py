@@ -178,7 +178,7 @@ def build_ff_topology(
 
         charges = np.asarray(
             qeq_charges(
-                _jnp.asarray(coords, _jnp.float64),
+                _jnp.asarray(coords),
                 _jnp.asarray(CHI[atomnos]),
                 _jnp.asarray(ETA[atomnos]),
                 float(charge),
