@@ -220,18 +220,24 @@ def _make_rmsd_sim(thr, max_dE, use_maxdev: bool, wsum) -> SimFn:
     return sim_fn
 
 
-@partial(jax.jit, static_argnames=("use_maxdev", "block", "has_energies"))
+@partial(jax.jit, static_argnames=("use_maxdev", "block", "has_energies", "has_mask"))
 def _prune_rmsd_device(
     coords: jnp.ndarray,
     energies: jnp.ndarray,
+    atom_mask: jnp.ndarray,
     thr: jnp.ndarray,
     max_dE: jnp.ndarray,
     use_maxdev: bool,
     block: int,
     has_energies: bool,
+    has_mask: bool,
 ) -> jnp.ndarray:
     b = coords.shape[0]
-    centered, g, wsum = center_coords(coords)
+    weights = atom_mask.astype(coords.dtype) if has_mask else None
+    centered, g, wsum = center_coords(coords, weights)
+    # center_coords prescales by sqrt(w); for 0/1 masks this zeroes padded
+    # atoms (they contribute nothing to RMSD or max-deviation) and leaves
+    # real atoms untouched, so the downstream kernels need no changes
     feats = {"c": centered, "g": g}
     if has_energies:
         feats["energies"] = energies
@@ -248,23 +254,34 @@ def prune_by_rmsd(
     max_dE: float = 1.0,
     use_maxdev: bool = True,
     block: int = DEFAULT_BLOCK,
+    atom_mask=None,
 ) -> np.ndarray:
-    """Greedy RMSD-similarity keep mask for an ensemble [B, N, 3]."""
+    """Greedy RMSD-similarity keep mask for an ensemble [B, N, 3].
+
+    atom_mask: optional bool[N] — False lanes are padding (bucketed
+    variable-size molecules) and are excluded from RMSD and max-deviation.
+    """
     coords = jnp.asarray(coords)
     b = coords.shape[0]
     if b <= 1:
         return np.ones(b, dtype=bool)
     block = min(block, _pow2_at_most(b))
     has_energies = energies is not None
+    has_mask = atom_mask is not None
     e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
+    mask = jnp.asarray(
+        atom_mask if has_mask else np.ones(coords.shape[1], dtype=bool)
+    )
     keep = _prune_rmsd_device(
         coords,
         e,
+        mask,
         jnp.asarray(rmsd_thr, coords.dtype),
         jnp.asarray(max_dE, coords.dtype),
         use_maxdev,
         block,
         has_energies,
+        has_mask,
     )
     return np.asarray(keep)
 

@@ -127,3 +127,18 @@ def test_prune_trivial_sizes():
     assert prune_by_rmsd(ens).tolist() == [True]
     ens0 = np.zeros((0, 5, 3))
     assert prune_by_rmsd(ens0).tolist() == []
+
+
+def test_prune_by_rmsd_with_atom_mask(rng):
+    """Padded atoms (mask False) must not affect keep decisions."""
+    ens = _ensemble_with_duplicates(rng, n_atoms=10, n_groups=4, group_size=4)
+    # pad with 4 garbage atoms per structure
+    garbage = rng.normal(size=(len(ens), 4, 3)) * 50
+    padded = np.concatenate([ens, garbage], axis=1)
+    mask = np.array([True] * 10 + [False] * 4)
+    got = prune_by_rmsd(padded, atom_mask=mask, block=8)
+    want = prune_by_rmsd(ens, block=8)
+    np.testing.assert_array_equal(got, want)
+    # without the mask the garbage atoms dominate and change the result
+    unmasked = prune_by_rmsd(padded, block=8)
+    assert unmasked.sum() != want.sum() or not np.array_equal(unmasked, want)
