@@ -684,19 +684,31 @@ class Embedder:
         energies: bool = True,
         p: bool = True,
         extra: str = "",
-        align: bool = True,
+        align: str | bool = True,
     ) -> str:
         structures = self.structures
         if align and len(structures) > 1:
-            # superpose everything on the first structure for readable output
-            # (reference align_structures, firecode/embedder.py:1702-1705)
+            # superpose for readable output: Kabsch onto the first structure,
+            # or principal-axes ("moi") alignment
+            # (reference align_structures / align_by_moi, embedder.py:1702-1705)
             import jax.numpy as jnp
 
-            from firecode_tpu.ops.rmsd import kabsch_align
+            if align == "moi":
+                from firecode_tpu.ops.inertia import moi_align
+                from firecode_tpu.pt import MASSES
 
-            structures = np.asarray(
-                kabsch_align(jnp.asarray(structures), jnp.asarray(structures[0]))
-            )
+                structures = np.asarray(
+                    moi_align(
+                        jnp.asarray(structures),
+                        jnp.asarray(MASSES[self.atomnos]),
+                    )
+                )
+            else:
+                from firecode_tpu.ops.rmsd import kabsch_align
+
+                structures = np.asarray(
+                    kabsch_align(jnp.asarray(structures), jnp.asarray(structures[0]))
+                )
         if len(structures) > 10000 and not self.options.let:
             self.log(
                 f"Truncated {tag} output to 10000 structures "

@@ -60,3 +60,42 @@ def inertia_tensor(coords: jnp.ndarray, masses: jnp.ndarray) -> jnp.ndarray:
 def inertia_moments(coords: jnp.ndarray, masses: jnp.ndarray) -> jnp.ndarray:
     """Principal moments of inertia, ascending. coords [..., N, 3] -> [..., 3]."""
     return eigvalsh3x3(inertia_tensor(coords, masses))
+
+
+def moi_align(coords: jnp.ndarray, masses: jnp.ndarray) -> jnp.ndarray:
+    """Align every structure's principal inertia axes to the first frame's.
+
+    coords: [B, N, 3] -> aligned [B, N, 3], all centered at the center of
+    mass. Eigenvector sign ambiguity is fixed by orienting each axis toward
+    positive overlap with the reference axes and restoring det = +1.
+    Capability parity with the reference's align_by_moi
+    (firecode/hypermolecule_class.py:45-86).
+    """
+    m = masses.astype(coords.dtype)
+    msum = jnp.sum(m)
+    com = jnp.sum(coords * m[None, :, None], axis=1, keepdims=True) / msum
+    centered = coords - com
+
+    tensors = inertia_tensor(centered, m)  # [B, 3, 3]
+    _, axes = jnp.linalg.eigh(tensors)  # columns = principal axes
+
+    # make every frame a proper rotation, then express each structure in its
+    # own principal frame: x' = axes^T x
+    det = jnp.linalg.det(axes)
+    axes = axes.at[:, :, 2].multiply(jnp.where(det < 0, -1.0, 1.0)[:, None])
+    canonical = jnp.einsum("bji,bnj->bni", axes, centered)
+
+    # principal frames are defined up to 180-degree flips about each axis
+    # (4 proper sign combinations): pick, per structure, the flip with the
+    # best atomwise overlap against frame 0
+    flips = jnp.asarray(
+        [[1.0, 1.0, 1.0], [1.0, -1.0, -1.0], [-1.0, 1.0, -1.0], [-1.0, -1.0, 1.0]],
+        dtype=coords.dtype,
+    )
+    cand = canonical[:, None, :, :] * flips[None, :, None, :]  # [B, 4, N, 3]
+    overlap = jnp.sum(cand * canonical[0][None, None], axis=(-2, -1))  # [B, 4]
+    best = jnp.argmax(overlap, axis=1)
+    chosen = jnp.take_along_axis(
+        cand, best[:, None, None, None], axis=1
+    )[:, 0]
+    return chosen

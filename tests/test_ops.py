@@ -85,3 +85,23 @@ def test_torsion_comp_check(rng):
     static = jnp.array([True] * 4 + [False] * 6)
     ok = bool(torsion_comp_ok(jnp.asarray(coords), moving, static, thr=0.1))
     assert ok  # chain steps are 1.5 A, nothing within 0.1
+
+
+def test_moi_align(rng):
+    """Rotated copies align back onto the reference principal frame."""
+    from scipy.spatial.transform import Rotation
+
+    from firecode_tpu.ops.inertia import moi_align
+    from firecode_tpu.pt import MASSES
+
+    base = make_chain_coords(9, rng)
+    atomnos = rng.integers(1, 10, size=9)
+    masses = MASSES[atomnos]
+    ens = np.stack(
+        [base @ Rotation.random(random_state=s).as_matrix().T + s for s in range(4)]
+    )
+    aligned = np.asarray(moi_align(jnp.asarray(ens), jnp.asarray(masses)))
+    # all frames should coincide after principal-axes alignment (up to the
+    # alignment's inherent axis-sign convention, fixed against frame 0)
+    for b in range(1, 4):
+        assert np.abs(aligned[b] - aligned[0]).max() < 1e-5
