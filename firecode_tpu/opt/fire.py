@@ -131,17 +131,40 @@ def optimize_batch(
     constraints=None,
     fmax: float = 0.05,
     max_steps: int = 1000,
+    batch_chunk: int = 16384,
 ) -> OptResult:
     """FIRE-relax a conformer batch [B, N, 3] on the given calculator.
 
     constraints: optional firecode_tpu.opt.constraints.Constraints — penalty
     terms are added to the energy and frozen atoms masked out of the update.
-    fmax in kcal/mol/A (max per-atom force norm).
+    fmax in kcal/mol/A (max per-atom force norm). Batches larger than
+    batch_chunk are processed in chunks to bound device memory.
     """
     coords = jnp.asarray(coords)
     squeeze = coords.ndim == 2
     if squeeze:
         coords = coords[None]
+    if coords.shape[0] > batch_chunk:
+        parts = [
+            optimize_batch(
+                calc,
+                coords[start : start + batch_chunk],
+                constraints=constraints,
+                fmax=fmax,
+                max_steps=max_steps,
+                batch_chunk=batch_chunk,
+            )
+            for start in range(0, coords.shape[0], batch_chunk)
+        ]
+        import numpy as _np
+
+        return OptResult(
+            coords=jnp.concatenate([p.coords for p in parts]),
+            energy=jnp.concatenate([p.energy for p in parts]),
+            fmax=jnp.concatenate([p.fmax for p in parts]),
+            converged=jnp.concatenate([p.converged for p in parts]),
+            n_steps=jnp.asarray(int(_np.max([int(p.n_steps) for p in parts]))),
+        )
     n = coords.shape[-2]
     if constraints is not None:
         key = (id(calc), id(constraints))

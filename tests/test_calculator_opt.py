@@ -153,3 +153,13 @@ def test_new_bond_preventer(rng):
     g2 = get_sum_graph([graphize(z2[:2], h2a), graphize(z2[2:], h2a)])
     pen2 = new_bond_preventer(z2, g2)
     assert float(pen2(jnp.asarray(pair))) > 0.0
+
+
+def test_optimize_batch_chunking(rng):
+    """Chunked and unchunked optimization give identical results."""
+    calc = LiteFF(WATER_Z, WATER)
+    batch = np.stack([WATER + rng.normal(scale=0.03, size=WATER.shape) for _ in range(6)])
+    full = optimize_batch(calc, batch, fmax=0.05, max_steps=500)
+    chunked = optimize_batch(calc, batch, fmax=0.05, max_steps=500, batch_chunk=2)
+    np.testing.assert_allclose(np.asarray(full.coords), np.asarray(chunked.coords), atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(full.converged), np.asarray(chunked.converged))
