@@ -1071,7 +1071,7 @@ class RunEmbedding:
             else "Structure optimization (loose)"
         )
         fmax = {"loose": 0.5, "tight": 0.05}.get(conv_thr, 0.05)
-        max_steps = maxiter or (500 if conv_thr == "loose" else 2000)
+        max_steps = maxiter or (1000 if conv_thr == "loose" else 8000)
         self.log(
             f"--> {task} ({self.options.theory_level} level via "
             f"{self.options.calculator}, batched on device)"
