@@ -150,7 +150,7 @@ def csearch_operator(filename: str, embedder, keep_hb: bool = False) -> str:
         cons = _constraints_object(mol, constrained, embedder)
         from firecode_tpu.opt import optimize_batch
 
-        res = optimize_batch(calc, confs, constraints=cons, fmax=0.05, max_steps=1500)
+        res = optimize_batch(calc, confs, constraints=cons, fmax=0.05, max_steps=3000)
         confs = np.asarray(res.coords, dtype=np.float64)
         energies = np.asarray(res.energy, dtype=np.float64)
         order = np.argsort(energies)
