@@ -83,13 +83,22 @@ def run_cascade(coords, atomnos: np.ndarray, block: int) -> tuple[int, float]:
 
     from firecode_tpu.prune import prune_by_moi, prune_by_rmsd, prune_by_rmsd_rot_corr
 
+    import jax
+
     coords = jnp.asarray(coords)
     coords.block_until_ready()
+    n_dev = len(jax.devices())
 
     t0 = time.perf_counter()
     keep = prune_by_moi(coords, atomnos, block=block)
     coords = jnp.take(coords, jnp.asarray(np.where(keep)[0]), axis=0)
-    keep = prune_by_rmsd(coords, atomnos, rmsd_thr=0.5, block=block)
+    if n_dev > 1 and len(coords) >= 1024 * n_dev:
+        # multi-chip: distribute the column axis over the ICI mesh
+        from firecode_tpu.parallel.sharded_prune import prune_by_rmsd_sharded
+
+        keep = prune_by_rmsd_sharded(coords, rmsd_thr=0.5, block=min(block, 512))
+    else:
+        keep = prune_by_rmsd(coords, atomnos, rmsd_thr=0.5, block=block)
     coords = jnp.take(coords, jnp.asarray(np.where(keep)[0]), axis=0)
     if len(coords) <= 1000:
         keep = prune_by_rmsd_rot_corr(
