@@ -154,3 +154,28 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(4)
+
+
+def test_idpp_interpolation_avoids_collisions(butane_endpoints):
+    """IDPP keeps interatomic distances sane where linear interpolation
+    collapses them (rotating methyl H's)."""
+    from firecode_tpu.opt.neb import idpp_interpolate, interpolate_band
+
+    atomnos, calc, anti, gauche = butane_endpoints
+    linear = interpolate_band(anti, gauche, 9)
+    idpp = idpp_interpolate(anti, gauche, 9)
+    assert idpp.shape == linear.shape
+    np.testing.assert_allclose(idpp[0], anti, atol=1e-5)
+    np.testing.assert_allclose(idpp[-1], gauche, atol=1e-5)
+
+    def min_dist(band):
+        out = []
+        for frame in band[1:-1]:
+            d = np.linalg.norm(frame[:, None] - frame[None, :], axis=-1)
+            np.fill_diagonal(d, 10.0)
+            out.append(d.min())
+        return min(out)
+
+    # idpp intermediate images should not compress the closest contact more
+    # than the linear path does
+    assert min_dist(idpp) >= min_dist(linear) - 1e-6
