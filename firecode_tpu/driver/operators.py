@@ -476,6 +476,7 @@ def freq_operator(filename: str, embedder) -> str:
     mol = _mol_for(filename, embedder)
     calc = _get_calc(embedder, mol)
     hessians = np.asarray(batch_hessian(calc, jnp.asarray(mol.coords)))
+    report = []
     for c, h in enumerate(hessians):
         freqs, _ = mass_weighted_frequencies(h, mol.atomnos)
         vib, n_imag = cleanup_frequencies(freqs, mol.coords[c])
@@ -487,6 +488,21 @@ def freq_operator(filename: str, embedder) -> str:
             f"    Conformer {c + 1}: {n_imag} imag, lowest vib "
             f"{vib[0]:.1f} cm^-1, G_corr = {data['g_corr']:.3f} kcal/mol"
         )
+        report.append(
+            {
+                "conformer": c + 1,
+                "frequencies_cm-1": [round(float(f), 2) for f in vib],
+                "n_imaginary": int(n_imag),
+                **{k: round(float(v), 5) for k, v in data.items()},
+            }
+        )
+    # JSON artifact with the full thermochemistry (reference writes a JSON
+    # dump + ORCA-mock .out, thermochemistry.py:481-511)
+    import json
+
+    out_json = f"{Path(filename).stem}_thermo.json"
+    Path(out_json).write_text(json.dumps(report, indent=2))
+    embedder.log(f"    Wrote thermochemistry data to {out_json}")
     return filename
 
 

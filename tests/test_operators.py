@@ -78,6 +78,12 @@ def test_saddle_freq_operators_run(rundir):
         {"ts.xyz": (atomnos, neb.ts_coords[None])},
     )
     assert (rundir / "ts_saddle.xyz").exists()
+    # freq ran first (composition) and wrote the thermochemistry artifact
+    import json
+
+    data = json.loads((rundir / "ts_thermo.json").read_text())
+    assert data[0]["n_imaginary"] >= 0
+    assert len(data[0]["frequencies_cm-1"]) == 3 * len(atomnos) - 6
 
 
 @pytest.mark.operator
