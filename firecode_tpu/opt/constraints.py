@@ -92,6 +92,17 @@ class Constraints:
         self.frozen.update(int(i) for i in indices)
         return self
 
+    def signature(self) -> tuple:
+        """Hashable content key (used to cache composed calculators by value,
+        not by object id — ids can be recycled after GC)."""
+        return (
+            tuple(tuple(r) for r in self.dist_idx),
+            tuple(tuple(r) for r in self.halfdist_idx),
+            tuple(tuple(r) for r in self.angle_idx),
+            tuple(tuple(r) for r in self.dihedral_idx),
+            tuple(sorted(self.frozen)),
+        )
+
     @property
     def constrained_atoms(self) -> set[int]:
         out = set()

@@ -120,9 +120,22 @@ def _optimize_batch_jit(coords, move_mask, fmax_thr, calc: Calculator, max_steps
     )
 
 
-# (calc, constraints) -> composed calculator, so repeated optimize_batch
-# calls with the same objects reuse one jit cache entry
-_COMPOSED: dict = {}
+# (calc, constraint-content) -> composed calculator, so repeated
+# optimize_batch calls reuse one jit cache entry. Keys hold the calculator
+# OBJECT (identity hash keeps it alive, so ids cannot be recycled into
+# aliased entries) plus the constraint tables BY VALUE; the cache is bounded.
+_COMPOSED: "dict" = {}
+_COMPOSED_MAX = 64
+
+
+def _composed_calc(calc: Calculator, constraints) -> Calculator:
+    key = (calc, constraints.signature())
+    hit = _COMPOSED.get(key)
+    if hit is None:
+        if len(_COMPOSED) >= _COMPOSED_MAX:
+            _COMPOSED.pop(next(iter(_COMPOSED)))
+        hit = _COMPOSED[key] = calc.with_extra(constraints.energy_fn())
+    return hit
 
 
 def optimize_batch(
@@ -133,6 +146,7 @@ def optimize_batch(
     max_steps: int = 1000,
     batch_chunk: int = 16384,
     restarts: int = 4,
+    mesh=None,
 ) -> OptResult:
     """FIRE-relax a conformer batch [B, N, 3] on the given calculator.
 
@@ -140,6 +154,13 @@ def optimize_batch(
     terms are added to the energy and frozen atoms masked out of the update.
     fmax in kcal/mol/A (max per-atom force norm). Batches larger than
     batch_chunk are processed in chunks to bound device memory.
+
+    mesh: optional jax.sharding.Mesh with an "ens" axis — the batch axis is
+    sharded over it and the whole FIRE while_loop runs data-parallel across
+    the devices (XLA propagates the input sharding; the only collective is
+    the all-converged reduction in the loop predicate). This is the TPU
+    replacement for the reference's ProcessPoolExecutor over structures
+    (firecode/embedder.py:2085-2242).
 
     The step budget is split into `restarts` rounds with velocities re-zeroed
     between rounds: FIRE's dt collapses after uphill events and regrows
@@ -160,6 +181,7 @@ def optimize_batch(
                 fmax=fmax,
                 max_steps=max_steps,
                 batch_chunk=batch_chunk,
+                mesh=mesh,
             )
             for start in range(0, coords.shape[0], batch_chunk)
         ]
@@ -172,12 +194,19 @@ def optimize_batch(
             converged=jnp.concatenate([p.converged for p in parts]),
             n_steps=jnp.asarray(int(_np.max([int(p.n_steps) for p in parts]))),
         )
+    b_in = coords.shape[0]
+    pad = 0
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        pad = (-b_in) % n_dev
+        if pad:
+            coords = jnp.concatenate([coords, coords[-1:].repeat(pad, axis=0)])
+        coords = jax.device_put(coords, NamedSharding(mesh, P("ens")))
     n = coords.shape[-2]
     if constraints is not None:
-        key = (id(calc), id(constraints))
-        if key not in _COMPOSED:
-            _COMPOSED[key] = calc.with_extra(constraints.energy_fn())
-        calc = _COMPOSED[key]
+        calc = _composed_calc(calc, constraints)
         move = jnp.asarray(constraints.move_mask(n))
     else:
         move = jnp.ones((n,), dtype=bool)
@@ -197,6 +226,14 @@ def optimize_batch(
     res = OptResult(
         res.coords, res.energy, res.fmax, res.converged, jnp.asarray(total_steps)
     )
+    if pad:
+        res = OptResult(
+            res.coords[:b_in],
+            res.energy[:b_in],
+            res.fmax[:b_in],
+            res.converged[:b_in],
+            res.n_steps,
+        )
     if squeeze:
         res = OptResult(res.coords[0], res.energy[0], res.fmax[0], res.converged[0], res.n_steps)
     return res

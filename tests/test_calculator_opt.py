@@ -163,3 +163,36 @@ def test_optimize_batch_chunking(rng):
     chunked = optimize_batch(calc, batch, fmax=0.05, max_steps=500, batch_chunk=2)
     np.testing.assert_allclose(np.asarray(full.coords), np.asarray(chunked.coords), atol=1e-10)
     np.testing.assert_array_equal(np.asarray(full.converged), np.asarray(chunked.converged))
+
+
+def test_optimize_batch_mesh_matches_single_device(rng):
+    """Mesh-sharded FIRE (incl. non-divisible batch padding) matches 1-device."""
+    from firecode_tpu.parallel import ensemble_mesh
+
+    calc = LiteFF(WATER_Z, WATER)
+    ens = WATER[None] + rng.normal(scale=0.05, size=(13, 3, 3))
+    mesh = ensemble_mesh(8)
+    res_m = optimize_batch(calc, ens, max_steps=100, mesh=mesh)
+    res_1 = optimize_batch(calc, ens, max_steps=100)
+    assert res_m.coords.shape == (13, 3, 3)
+    assert np.allclose(np.asarray(res_m.coords), np.asarray(res_1.coords), atol=1e-6)
+
+
+def test_composed_calculator_cache_keys_on_content(rng):
+    """Equal-content Constraints objects share one composed-calculator entry."""
+    from firecode_tpu.opt.fire import _COMPOSED
+
+    _COMPOSED.clear()
+    calc = LiteFF(WATER_Z, WATER)
+    ens = WATER[None] + rng.normal(scale=0.02, size=(4, 3, 3))
+    c1 = Constraints().add_distance(1, 2, 1.6)
+    c2 = Constraints().add_distance(1, 2, 1.6)
+    assert c1.signature() == c2.signature()
+    r1 = optimize_batch(calc, ens, constraints=c1, max_steps=50)
+    r2 = optimize_batch(calc, ens, constraints=c2, max_steps=50)
+    assert len(_COMPOSED) == 1
+    assert np.allclose(np.asarray(r1.coords), np.asarray(r2.coords))
+    # different content -> new entry
+    c3 = Constraints().add_distance(1, 2, 1.7)
+    optimize_batch(calc, ens, constraints=c3, max_steps=10)
+    assert len(_COMPOSED) == 2
