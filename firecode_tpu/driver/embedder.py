@@ -37,7 +37,7 @@ from firecode_tpu.embed.embeds import (
 )
 from firecode_tpu.embed.hypermolecule import Hypermolecule
 from firecode_tpu.errors import InputError, ZeroCandidatesError
-from firecode_tpu.graphs import get_sum_graph, scramble_check
+from firecode_tpu.graphs import get_sum_graph, scramble_check_batch
 from firecode_tpu.driver.options import KEYWORDS, Options, OptionSetter
 from firecode_tpu.io.xyz import write_xyz
 from firecode_tpu.pt import COVALENT_RADII
@@ -56,6 +56,25 @@ class Constraint:
     @property
     def type_(self) -> str:
         return {2: "B", 3: "A", 4: "D"}[len(self.indices)]
+
+
+def _dihedrals_batch(coords: np.ndarray, quads: np.ndarray) -> np.ndarray:
+    """Dihedral angles (degrees) for [B, N, 3] coords over [Q, 4] quads -> [B, Q].
+
+    Same convention as prune.oracle.np_dihedral, vectorized over batch."""
+    p0 = coords[:, quads[:, 0]]
+    p1 = coords[:, quads[:, 1]]
+    p2 = coords[:, quads[:, 2]]
+    p3 = coords[:, quads[:, 3]]
+    b0 = p0 - p1
+    b1 = p2 - p1
+    b2 = p3 - p2
+    b1n = b1 / np.linalg.norm(b1, axis=-1, keepdims=True)
+    v = b0 - np.sum(b0 * b1n, axis=-1, keepdims=True) * b1n
+    w = b2 - np.sum(b2 * b1n, axis=-1, keepdims=True) * b1n
+    x = np.sum(v * w, axis=-1)
+    y = np.sum(np.cross(b1n, v) * w, axis=-1)
+    return np.degrees(np.arctan2(y, x))
 
 
 def get_ts_d_estimate(z1: int, z2: int, factor: float = 1.35) -> float:
@@ -104,6 +123,27 @@ class Embedder:
         self._print_references()
         self._apply_operators()
         self._setup()
+
+    @property
+    def device_mesh(self):
+        """Ensemble mesh over all visible devices (None when single-device).
+
+        Built once per run; prune cascades and batched optimizations shard
+        the ensemble axis over it — the multi-chip replacement for the
+        reference's process pool (firecode/embedder.py:2085-2242)."""
+        if not hasattr(self, "_device_mesh"):
+            import jax
+
+            from firecode_tpu.parallel import ensemble_mesh
+
+            devs = jax.devices()
+            self._device_mesh = ensemble_mesh() if len(devs) > 1 else None
+            if self._device_mesh is not None:
+                self.log(
+                    f"--> Ensemble mesh over {len(devs)} devices "
+                    "(sharded prune + optimization)"
+                )
+        return self._device_mesh
 
     @property
     def mols(self) -> dict:
@@ -905,8 +945,10 @@ class RunEmbedding:
 
                 quads = get_quadruplets(self.embed_graph)
                 if len(quads):
-                    mask = prune_by_tfd(self.structures, quads)
+                    mask = prune_by_tfd(self.structures, quads, mesh=self.device_mesh)
                     self.apply_mask(attr, mask)
+                    if energies is not None:
+                        energies = energies[mask]
                     if not mask.all():
                         self.log(
                             f"Discarded {int((~mask).sum())} structures for TFD "
@@ -915,8 +957,13 @@ class RunEmbedding:
 
         if moi:
             if len(self.structures) <= 1e5:
-                mask = prune_by_moi(self.structures, self.atomnos, energies=energies)
+                mask = prune_by_moi(
+                    self.structures, self.atomnos, energies=energies,
+                    mesh=self.device_mesh,
+                )
                 self.apply_mask(attr, mask)
+                if energies is not None:
+                    energies = energies[mask]
                 if not mask.all():
                     self.log(
                         f"Discarded {int((~mask).sum())} candidates for MOI "
@@ -929,9 +976,11 @@ class RunEmbedding:
             if len(self.structures) <= 1e5:
                 mask = prune_by_rmsd(
                     self.structures, self.atomnos, rmsd_thr=self.options.rmsd,
-                    energies=energies,
+                    energies=energies, mesh=self.device_mesh,
                 )
                 self.apply_mask(attr, mask)
+                if energies is not None:
+                    energies = energies[mask]
                 if not mask.all():
                     self.log(
                         f"Discarded {int((~mask).sum())} candidates for RMSD "
@@ -940,7 +989,7 @@ class RunEmbedding:
                 if len(self.structures) <= 1e3 and getattr(self, "embed_graph", None) is not None:
                     mask = prune_by_rmsd_rot_corr(
                         self.structures, self.atomnos, rmsd_thr=self.options.rmsd,
-                        energies=energies,
+                        energies=energies, mesh=self.device_mesh,
                     )
                     self.apply_mask(attr, mask)
                     if not mask.all():
@@ -962,18 +1011,38 @@ class RunEmbedding:
         exceed the threshold (firecode/embedder.py:1999-2041)."""
         if verbose:
             self.log("--> Fitness pruning - removing inaccurate structures")
-        mask = np.ones(len(self.structures), dtype=bool)
-        for s, (structure, constraints) in enumerate(
-            zip(self.structures, self.constrained_indices)
-        ):
-            total_dev = 0.0
-            for pair in constraints:
-                target = self.get_pairing_dists_from_constrained_indices(pair)
-                if target is None:
-                    continue
-                d = float(np.linalg.norm(structure[pair[0]] - structure[pair[1]]))
-                total_dev += abs(d - target)
-            mask[s] = total_dev <= threshold
+        b = len(self.structures)
+        mask = np.ones(b, dtype=bool)
+        ci = np.asarray(self.constrained_indices)
+        if b and ci.size:
+            # vectorized: one [B, P] gather + reduce instead of a per-structure
+            # Python loop (SURVEY.md section 7 "never per-structure Python in
+            # the hot path"); targets are looked up once per distinct pair
+            pairs = ci.reshape(b, -1, 2)  # [B, P, 2]
+            targets = np.empty(pairs.shape[:2])  # [B, P]
+            counted = np.zeros(pairs.shape[:2], dtype=bool)
+            uniq, inverse = np.unique(
+                pairs.reshape(-1, 2), axis=0, return_inverse=True
+            )
+            t_of_uniq = np.array(
+                [
+                    self.get_pairing_dists_from_constrained_indices(tuple(p))
+                    for p in uniq
+                ],
+                dtype=object,
+            )
+            flat_t = t_of_uniq[inverse]
+            counted.reshape(-1)[:] = np.array([t is not None for t in flat_t])
+            targets.reshape(-1)[:] = np.array(
+                [0.0 if t is None else float(t) for t in flat_t]
+            )
+            d = np.linalg.norm(
+                self.structures[np.arange(b)[:, None], pairs[..., 0]]
+                - self.structures[np.arange(b)[:, None], pairs[..., 1]],
+                axis=-1,
+            )
+            total_dev = np.sum(np.abs(d - targets) * counted, axis=-1)
+            mask = total_dev <= threshold
         self.apply_mask(
             ("structures", "energies", "constrained_indices", "exit_status"), mask
         )
@@ -1024,33 +1093,56 @@ class RunEmbedding:
 
     def _constraint_groups(self, only_fixed_constraints: bool):
         """Group structure indices by identical constraint signatures, so one
-        batched optimization serves each group."""
-        from firecode_tpu.prune.oracle import np_dihedral
+        batched optimization serves each group.
 
+        Grouping is numpy-vectorized (np.unique over pair blocks + a batched
+        dihedral classification for EZPROT) — per-structure Python work is
+        O(#distinct groups), not O(B)."""
         ez_quads = (
             self._ezprot_quadruplets()
             if self.options.double_bond_protection
             else []
         )
-        groups: dict[tuple, list[int]] = {}
-        for i in range(len(self.structures)):
-            if only_fixed_constraints:
-                pairs = [
-                    tuple(v) for k, v in self.pairings_table.items() if k.isupper()
-                ]
-            else:
-                pairs = [tuple(p) for p in self.constrained_indices[i]]
-                pairs += [tuple(p) for p in self.internal_constraints]
+        b = len(self.structures)
+        if only_fixed_constraints:
+            uniq_blocks = [
+                [tuple(v) for k, v in self.pairings_table.items() if k.isupper()]
+            ]
+            block_ids = np.zeros(b, dtype=np.int64)
+        else:
+            ci = np.asarray(self.constrained_indices).reshape(b, -1, 2)
+            uniq, block_ids = np.unique(
+                ci.reshape(b, -1), axis=0, return_inverse=True
+            )
+            extra = [tuple(p) for p in self.internal_constraints]
+            uniq_blocks = [
+                [tuple(p) for p in u.reshape(-1, 2)] + extra for u in uniq
+            ]
+        sigs = []
+        for pairs in uniq_blocks:
             sig = []
             for pair in sorted(set(pairs)):
                 target = self.get_pairing_dists_from_constrained_indices(pair)
                 sig.append((int(pair[0]), int(pair[1]), target))
-            # EZPROT: pin each double bond to its current E/Z configuration
-            ez_sig = []
-            for quad in ez_quads:
-                phi = np_dihedral(self.structures[i][list(quad)])
-                ez_sig.append((quad, 0.0 if abs(phi) < 90.0 else 180.0))
-            groups.setdefault((tuple(sig), tuple(ez_sig)), []).append(i)
+            sigs.append(tuple(sig))
+        # EZPROT: pin each double bond to its current E/Z configuration
+        if ez_quads:
+            phi = _dihedrals_batch(self.structures, np.asarray(ez_quads))  # [B, Q]
+            ez_cls = (np.abs(phi) >= 90.0).astype(np.int64)
+        else:
+            ez_cls = np.zeros((b, 0), dtype=np.int64)
+        combined = np.concatenate(
+            [block_ids.reshape(b, 1), ez_cls], axis=1
+        )
+        uniq_keys, key_inverse = np.unique(combined, axis=0, return_inverse=True)
+        groups: dict[tuple, list[int]] = {}
+        for gi, key in enumerate(uniq_keys):
+            sig = sigs[int(key[0])]
+            ez_sig = tuple(
+                (tuple(int(x) for x in q), 0.0 if c == 0 else 180.0)
+                for q, c in zip(ez_quads, key[1:])
+            )
+            groups[(sig, ez_sig)] = [int(i) for i in np.nonzero(key_inverse == gi)[0]]
         return groups
 
     def optimization_refining(
@@ -1110,29 +1202,30 @@ class RunEmbedding:
 
             batch = self.structures[indices].astype(dtype)
             result = optimize_batch(
-                calc, batch, constraints=cons, fmax=fmax, max_steps=max_steps
+                calc, batch, constraints=cons, fmax=fmax, max_steps=max_steps,
+                mesh=self.device_mesh,
             )
             new_coords = np.asarray(result.coords, dtype=np.float64)
             new_energy = np.asarray(result.energy, dtype=np.float64)
-            converged = np.asarray(result.converged)
+            ok = np.asarray(result.converged).copy()
 
-            for k, i in enumerate(indices):
-                ok = bool(converged[k])
-                if ok and self.options.scramble_check:
-                    excluded = np.array([p[:2] for p in sig], dtype=int).ravel()
-                    ok = scramble_check(
-                        self.atomnos,
-                        new_coords[k],
-                        excluded_atoms=excluded,
-                        mols_graphs=self.graphs,
-                        max_newbonds=self.options.max_newbonds,
-                    )
-                self.exit_status[i] = ok
-                if ok:
-                    self.structures[i] = new_coords[k]
-                    self.energies[i] = new_energy[k]
-                else:
-                    self.energies[i] = 1e10
+            if self.options.scramble_check and ok.any():
+                # one batched device call instead of B host graphize passes
+                excluded = np.array([p[:2] for p in sig], dtype=int).ravel()
+                unscrambled = scramble_check_batch(
+                    self.atomnos,
+                    new_coords[ok],
+                    excluded_atoms=excluded,
+                    mols_graphs=self.graphs,
+                    max_newbonds=self.options.max_newbonds,
+                )
+                ok[np.nonzero(ok)[0][~unscrambled]] = False
+
+            idx = np.asarray(indices)
+            self.exit_status[idx] = ok
+            self.structures[idx[ok]] = new_coords[ok]
+            self.energies[idx[ok]] = new_energy[ok]
+            self.energies[idx[~ok]] = 1e10
 
         elapsed = time.perf_counter() - t_start
         self.log(

@@ -237,6 +237,58 @@ def molecule_check(
     return len(old ^ new) <= max_newbonds
 
 
+def scramble_check_batch(
+    atoms: np.ndarray,
+    coords_batch: np.ndarray,
+    excluded_atoms: Iterable[int],
+    mols_graphs: Iterable[nx.Graph],
+    max_newbonds: int = 0,
+    factor: float = BOND_FACTOR,
+) -> np.ndarray:
+    """Vectorized scramble_check over a conformer batch [B, N, 3] -> bool[B].
+
+    One device call instead of B host graphize calls: batched distance-based
+    bond perception, xor against the expected bond matrix, count of changed
+    bonds outside the excluded-atom set (firecode/utils.py:356-400 semantics,
+    SURVEY.md section 7 "never per-structure Python in the hot path").
+    """
+    import jax.numpy as jnp
+
+    atomnos = _as_atomnos(atoms)
+    n = len(atomnos)
+    coords_batch = np.asarray(coords_batch)
+
+    expected = np.zeros((n, n), dtype=bool)
+    pos = 0
+    for g in mols_graphs:
+        for a, b in g.edges:
+            expected[a + pos, b + pos] = expected[b + pos, a + pos] = True
+        pos += len(g.nodes)
+
+    excl = np.zeros(n, dtype=bool)
+    for i in excluded_atoms:
+        excl[int(i)] = True
+    pair_mask = np.triu(np.ones((n, n), dtype=bool), k=1)
+    pair_mask &= ~excl[:, None] & ~excl[None, :]
+
+    radii = COVALENT_RADII[atomnos]
+    cutoff = jnp.asarray(factor * (radii[:, None] + radii[None, :]))
+    expected_j = jnp.asarray(expected)
+    pair_mask_j = jnp.asarray(pair_mask)
+
+    # chunk the batch so the [chunk, N, N] distance tensor stays bounded
+    chunk = max(1, (1 << 24) // max(n * n, 1))
+    out = np.empty(len(coords_batch), dtype=bool)
+    for s in range(0, len(coords_batch), chunk):
+        cb = jnp.asarray(coords_batch[s : s + chunk])
+        diff = cb[:, :, None, :] - cb[:, None, :, :]
+        dists = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        delta = (dists < cutoff) ^ expected_j
+        counts = jnp.sum(delta & pair_mask_j, axis=(1, 2))
+        out[s : s + chunk] = np.asarray(counts <= max_newbonds)
+    return out
+
+
 def scramble_check(
     atoms: np.ndarray,
     coords: np.ndarray,

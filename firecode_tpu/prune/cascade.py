@@ -255,18 +255,32 @@ def prune_by_rmsd(
     use_maxdev: bool = True,
     block: int = DEFAULT_BLOCK,
     atom_mask=None,
+    mesh=None,
 ) -> np.ndarray:
     """Greedy RMSD-similarity keep mask for an ensemble [B, N, 3].
 
     atom_mask: optional bool[N] — False lanes are padding (bucketed
     variable-size molecules) and are excluded from RMSD and max-deviation.
+    mesh: optional multi-device "ens" mesh — the column reductions are then
+    distributed over it (keep-lists stay bit-identical).
     """
     coords = jnp.asarray(coords)
     b = coords.shape[0]
     if b <= 1:
         return np.ones(b, dtype=bool)
+    if mesh is not None and mesh.devices.size > 1:
+        from firecode_tpu.parallel.sharded_prune import prune_by_rmsd_sharded
+
+        return prune_by_rmsd_sharded(
+            coords, rmsd_thr, energies, max_dE, _shard_block(block, b, mesh), mesh,
+            use_maxdev, atom_mask,
+        )
     block = min(block, _pow2_at_most(b))
     has_energies = energies is not None
+    if has_energies and int(np.shape(energies)[0]) != b:
+        raise ValueError(
+            f"energies length {np.shape(energies)[0]} does not match ensemble size {b}"
+        )
     has_mask = atom_mask is not None
     e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
     mask = jnp.asarray(
@@ -338,6 +352,7 @@ def prune_by_rmsd_rot_corr(
     use_maxdev: bool = True,
     block: int = DEFAULT_BLOCK,
     max_perms: int = 60,
+    mesh=None,
 ) -> np.ndarray:
     """RMSD prune where similarity is additionally checked under rotameric
     atom permutations (methyl/tBu/phenyl top rotations).
@@ -361,10 +376,21 @@ def prune_by_rmsd_rot_corr(
     permutations = np.asarray(permutations, dtype=np.int32)
     if permutations.size == 0:
         return prune_by_rmsd(
-            coords, atomnos, rmsd_thr, energies, max_dE, use_maxdev, block
+            coords, atomnos, rmsd_thr, energies, max_dE, use_maxdev, block, mesh=mesh
+        )
+    if mesh is not None and mesh.devices.size > 1:
+        from firecode_tpu.parallel.sharded_prune import prune_by_rmsd_rot_corr_sharded
+
+        return prune_by_rmsd_rot_corr_sharded(
+            coords, atomnos, permutations, rmsd_thr, energies, max_dE,
+            _shard_block(block, b, mesh), mesh, use_maxdev,
         )
     block = min(block, _pow2_at_most(b))
     has_energies = energies is not None
+    if has_energies and int(np.shape(energies)[0]) != b:
+        raise ValueError(
+            f"energies length {np.shape(energies)[0]} does not match ensemble size {b}"
+        )
     e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
     keep = _prune_rmsd_rot_corr_device(
         coords,
@@ -418,15 +444,26 @@ def prune_by_moi(
     energies=None,
     max_dE: float = 1.0,
     block: int = 1024,
+    mesh=None,
 ) -> np.ndarray:
     """Moment-of-inertia similarity keep mask (energy-gated when available)."""
     coords = jnp.asarray(coords)
     b = coords.shape[0]
     if b <= 1:
         return np.ones(b, dtype=bool)
+    if mesh is not None and mesh.devices.size > 1:
+        from firecode_tpu.parallel.sharded_prune import prune_by_moi_sharded
+
+        return prune_by_moi_sharded(
+            coords, atomnos, rel_tol, energies, max_dE, _shard_block(block, b, mesh), mesh
+        )
     masses = jnp.asarray(MASSES[np.asarray(atomnos)], dtype=coords.dtype)
     block = min(block, _pow2_at_most(b))
     has_energies = energies is not None
+    if has_energies and int(np.shape(energies)[0]) != b:
+        raise ValueError(
+            f"energies length {np.shape(energies)[0]} does not match ensemble size {b}"
+        )
     e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
     keep = _prune_moi_device(
         coords,
@@ -470,6 +507,7 @@ def prune_by_tfd(
     energies=None,
     max_dE: float = 1.0,
     block: int = 1024,
+    mesh=None,
 ) -> np.ndarray:
     """Torsion-fingerprint-deviation keep mask (firecode csearch dedup)."""
     coords = jnp.asarray(coords)
@@ -477,8 +515,18 @@ def prune_by_tfd(
     quadruplets = np.asarray(quadruplets, dtype=np.int32)
     if b <= 1 or quadruplets.size == 0:
         return np.ones(b, dtype=bool)
+    if mesh is not None and mesh.devices.size > 1:
+        from firecode_tpu.parallel.sharded_prune import prune_by_tfd_sharded
+
+        return prune_by_tfd_sharded(
+            coords, quadruplets, thresh, energies, max_dE, _shard_block(block, b, mesh), mesh
+        )
     block = min(block, _pow2_at_most(b))
     has_energies = energies is not None
+    if has_energies and int(np.shape(energies)[0]) != b:
+        raise ValueError(
+            f"energies length {np.shape(energies)[0]} does not match ensemble size {b}"
+        )
     e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
     keep = _prune_tfd_device(
         coords,
@@ -490,6 +538,12 @@ def prune_by_tfd(
         has_energies,
     )
     return np.asarray(keep)
+
+
+def _shard_block(block: int, b: int, mesh) -> int:
+    """Block size for the sharded engine: <= requested, power of two, and
+    small enough that padding to block * n_dev stays proportional to b."""
+    return max(1, min(block, _pow2_at_most(max(b // mesh.devices.size, 1))))
 
 
 def _pow2_at_most(n: int) -> int:
