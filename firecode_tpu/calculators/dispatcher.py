@@ -18,7 +18,7 @@ from firecode_tpu.calculators.base import Calculator
 from firecode_tpu.calculators.forcefield import LiteFF
 from firecode_tpu.errors import MissingExternalError
 
-KNOWN_CALCULATORS = ("LITEFF", "XTB", "TBLITE", "ORCA", "AIMNET2", "UMA")
+KNOWN_CALCULATORS = ("LITEFF", "LITEFF-R", "XTB", "TBLITE", "ORCA", "AIMNET2", "UMA")
 
 
 class Dispatcher:
@@ -43,6 +43,15 @@ class Dispatcher:
         """Build a batched calculator for the given system."""
         if self.calculator == "LITEFF":
             calc = LiteFF(atomnos, coords, graph=graph, charge=charge)
+            if solvent is not None:
+                from firecode_tpu.calculators.solvation import solvate
+
+                calc = solvate(calc, atomnos, solvent, total_charge=charge)
+            return calc
+        if self.calculator == "LITEFF-R":
+            from firecode_tpu.calculators.reactive_ff import ReactiveFF
+
+            calc = ReactiveFF(atomnos, charge=charge)
             if solvent is not None:
                 from firecode_tpu.calculators.solvation import solvate
 

@@ -62,6 +62,8 @@ def _parse_xyz_py(text: str) -> tuple[list[str], np.ndarray, list[str]]:
             natoms = int(line)
         except ValueError as exc:
             raise InputError(f"Expected atom count at line {i + 1}, got: {line!r}") from exc
+        if natoms <= 0:
+            raise InputError(f"Atom count must be positive at line {i + 1}, got: {natoms}")
         if i + 1 + natoms >= n_lines + 1:
             raise InputError(f"Truncated xyz frame starting at line {i + 1}")
         comments.append(lines[i + 1] if i + 1 < n_lines else "")
