@@ -73,7 +73,7 @@ def ase_torsion_TSs(
 ) -> list[dict]:
     """Find rotation TSs about a dihedral: coarse scans both ways, peak
     refinement, optional saddle optimization of each peak."""
-    from firecode_tpu.opt.saddle import saddle_refine
+    from firecode_tpu.opt.saddle import saddle_refine_batch
 
     log = logfunction or (lambda s: None)
     results = []
@@ -86,24 +86,34 @@ def ase_torsion_TSs(
         all_scans.append((direction, angles, energies, frames))
         rel = energies - energies.min()
         for peak in _find_peaks(rel):
-            entry = {
-                "direction": direction,
-                "angle": float(angles[peak]),
-                "barrier": float(rel[peak]),
-                "coords": frames[peak],
-                "converged": False,
-            }
-            if refine_saddle:
-                res = saddle_refine(calc, frames[peak], fmax=0.05, max_steps=150)
-                entry["coords"] = res.coords
-                entry["converged"] = res.converged
-                entry["energy"] = res.energy
-                log(
-                    f"    {title}: peak at {angles[peak]:.0f} deg "
-                    f"(barrier {rel[peak]:.2f} kcal/mol) -> saddle "
-                    f"{'converged' if res.converged else 'NOT converged'}"
-                )
-            results.append(entry)
+            results.append(
+                {
+                    "direction": direction,
+                    "angle": float(angles[peak]),
+                    "barrier": float(rel[peak]),
+                    "coords": frames[peak],
+                    "converged": False,
+                }
+            )
+
+    if refine_saddle and results:
+        # all peaks from both scan directions refine as ONE batched device
+        # call (vmapped eigenvector following), not a per-peak host loop
+        batch = saddle_refine_batch(
+            calc,
+            np.stack([entry["coords"] for entry in results]),
+            fmax=0.05,
+            max_steps=150,
+        )
+        for k, entry in enumerate(results):
+            entry["coords"] = batch.coords[k]
+            entry["converged"] = bool(batch.converged[k])
+            entry["energy"] = float(batch.energies[k])
+            log(
+                f"    {title}: peak at {entry['angle']:.0f} deg "
+                f"(barrier {entry['barrier']:.2f} kcal/mol) -> saddle "
+                f"{'converged' if entry['converged'] else 'NOT converged'}"
+            )
 
     # deduplicate TSs found from both directions (same geometry)
     unique = []

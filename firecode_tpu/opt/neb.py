@@ -159,13 +159,17 @@ def _neb_forces(calc, images, k_spring, climbing):
 
 @partial(jax.jit, static_argnames=("calc", "max_steps"))
 def _neb_fire_jit(images, k_spring, fmax_thr, maxstep, climbing, calc: Calculator, max_steps: int):
-    """Global FIRE over the whole band."""
+    """Global FIRE over the whole band.
+
+    The band forces are carried through the loop state so each iteration
+    evaluates the calculator exactly ONCE (an earlier version recomputed
+    _neb_forces in the while-loop condition, doubling the dominant cost).
+    """
     dt0, dt_max = 0.02, 0.1
     f_inc, f_dec, alpha0, f_alpha, n_min = 1.1, 0.5, 0.25, 0.99, 5
 
     def step_fn(state):
-        imgs, v, dt, alpha, n_pos, step = state
-        _, f = _neb_forces(calc, imgs, k_spring, climbing)
+        imgs, f, v, dt, alpha, n_pos, step = state
 
         power = jnp.sum(f * v)
         uphill = power <= 0.0
@@ -184,16 +188,19 @@ def _neb_fire_jit(images, k_spring, fmax_thr, maxstep, climbing, calc: Calculato
         dx = dt * v
         step_len = jnp.sqrt(jnp.sum(dx * dx, axis=-1, keepdims=True)) + 1e-12
         dx = dx * jnp.minimum(1.0, maxstep / step_len)
-        return imgs + dx, v, dt, alpha, n_pos, step + 1
+        imgs = imgs + dx
+        _, f_new = _neb_forces(calc, imgs, k_spring, climbing)
+        return imgs, f_new, v, dt, alpha, n_pos, step + 1
 
     def cond(state):
-        imgs, v, dt, alpha, n_pos, step = state
-        _, f = _neb_forces(calc, imgs, k_spring, climbing)
+        _, f, _, _, _, _, step = state
         fmax_now = jnp.max(jnp.sqrt(jnp.sum(f * f, axis=-1)))
         return (step < max_steps) & (fmax_now >= fmax_thr)
 
+    _, f0 = _neb_forces(calc, images, k_spring, climbing)
     state = (
         images,
+        f0,
         jnp.zeros_like(images),
         jnp.asarray(dt0, images.dtype),
         jnp.asarray(alpha0, images.dtype),
@@ -201,10 +208,10 @@ def _neb_fire_jit(images, k_spring, fmax_thr, maxstep, climbing, calc: Calculato
         jnp.asarray(0, jnp.int32),
     )
     state = lax.while_loop(cond, step_fn, state)
-    imgs = state[0]
-    e, f = _neb_forces(calc, imgs, k_spring, climbing)
+    imgs, f = state[0], state[1]
+    e = calc.energy(imgs)
     fmax_res = jnp.max(jnp.sqrt(jnp.sum(f * f, axis=-1)))
-    return imgs, e, fmax_res, state[5]
+    return imgs, e, fmax_res, state[6]
 
 
 def run_neb(

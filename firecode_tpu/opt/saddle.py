@@ -11,10 +11,13 @@ imaginary mode (reference ase_manipulations.py:1253-1345).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from firecode_tpu.calculators.base import Calculator
 from firecode_tpu.opt.hessian import batch_hessian
@@ -30,6 +33,91 @@ class SaddleResult(NamedTuple):
     n_steps: int
 
 
+class SaddleBatchResult(NamedTuple):
+    coords: np.ndarray  # [B, N, 3]
+    energies: np.ndarray  # [B]
+    fmax: np.ndarray  # [B]
+    converged: np.ndarray  # bool[B]
+    n_steps: int
+
+
+@partial(jax.jit, static_argnames=("calc", "max_steps"))
+def _saddle_ef_jit(coords_b, fmax_thr, trust_radius, calc: Calculator, max_steps: int):
+    """Batched eigenvector-following: whole TS ensemble in one jitted loop.
+
+    Every lane takes an exact-Hessian EF step each iteration (batched
+    jax.hessian + batched eigh); converged lanes freeze via masks. This
+    replaces the per-structure host loop the round-1 review flagged — an
+    ensemble of saddle candidates is now one device program.
+    """
+    b, n, _ = coords_b.shape
+    dim = 3 * n
+
+    def hessians(x):
+        return jax.vmap(lambda c: jax.hessian(calc.energy_one)(c).reshape(dim, dim))(x)
+
+    def lane_fmax(f):
+        return jnp.max(jnp.sqrt(jnp.sum(f * f, axis=-1)), axis=-1)  # [B]
+
+    def step_fn(state):
+        x, f, steps = state
+        done = lane_fmax(f) < fmax_thr
+
+        g = -f.reshape(b, dim)
+        h = hessians(x)
+        evals, evecs = jnp.linalg.eigh(h)  # [B, dim], [B, dim, dim]
+        live = jnp.abs(evals) > ZERO_MODE_THR
+        # lowest live eigenvalue = reaction coordinate, followed uphill
+        mode = jnp.argmin(jnp.where(live, evals, jnp.inf), axis=-1)  # [B]
+        gi = jnp.einsum("bd,bdi->bi", g, evecs)
+        denom = jnp.maximum(jnp.abs(evals), ZERO_MODE_THR)
+        sign = jnp.where(jnp.arange(dim)[None, :] == mode[:, None], 1.0, -1.0)
+        coeff = jnp.where(live, sign * gi / denom, 0.0)
+        dx = jnp.einsum("bi,bdi->bd", coeff, evecs)
+        norm = jnp.sqrt(jnp.sum(dx * dx, axis=-1, keepdims=True)) + 1e-12
+        dx = dx * jnp.minimum(1.0, trust_radius / norm)
+        dx = jnp.where(done[:, None], 0.0, dx)
+
+        x = x + dx.reshape(b, n, 3)
+        _, f_new = calc.energy_and_forces(x)
+        return x, f_new, steps + 1
+
+    def cond(state):
+        _, f, steps = state
+        return (steps < max_steps) & jnp.any(lane_fmax(f) >= fmax_thr)
+
+    _, f0 = calc.energy_and_forces(coords_b)
+    x, f, steps = lax.while_loop(cond, step_fn, (coords_b, f0, jnp.asarray(0, jnp.int32)))
+    e = calc.energy(x)
+    fm = lane_fmax(f)
+    return x, e, fm, fm < fmax_thr, steps
+
+
+def saddle_refine_batch(
+    calc: Calculator,
+    coords: np.ndarray,
+    fmax: float = 0.05,
+    max_steps: int = 200,
+    trust_radius: float = 0.1,
+) -> SaddleBatchResult:
+    """Refine a whole batch [B, N, 3] of saddle candidates in one device call."""
+    coords_b = jnp.asarray(np.asarray(coords, dtype=np.float64))
+    x, e, fm, conv, steps = _saddle_ef_jit(
+        coords_b,
+        jnp.asarray(fmax, coords_b.dtype),
+        jnp.asarray(trust_radius, coords_b.dtype),
+        calc,
+        max_steps,
+    )
+    return SaddleBatchResult(
+        coords=np.asarray(x, dtype=np.float64),
+        energies=np.asarray(e, dtype=np.float64),
+        fmax=np.asarray(fm, dtype=np.float64),
+        converged=np.asarray(conv),
+        n_steps=int(steps),
+    )
+
+
 def saddle_refine(
     calc: Calculator,
     coords: np.ndarray,
@@ -39,51 +127,21 @@ def saddle_refine(
     logfunction=None,
 ) -> SaddleResult:
     """Eigenvector-following to the nearest first-order saddle point."""
-    log = logfunction or (lambda s: None)
-    x = np.asarray(coords, dtype=np.float64).copy()
-    n = x.shape[0]
-
-    for step in range(max_steps):
-        e, f = calc.energy_and_forces(jnp.asarray(x))
-        g = -np.asarray(f).reshape(-1)  # gradient
-        fmax_now = float(np.max(np.linalg.norm(np.asarray(f), axis=-1)))
-        if fmax_now < fmax:
-            return SaddleResult(x, float(e), fmax_now, True, step)
-
-        h = np.asarray(batch_hessian(calc, jnp.asarray(x)))
-        evals, evecs = np.linalg.eigh(h)
-
-        # identify followable modes: skip near-zero (trans/rot) eigenvalues
-        live = np.abs(evals) > ZERO_MODE_THR
-        live_ids = np.where(live)[0]
-        if len(live_ids) == 0:
-            break
-        mode = live_ids[0]  # lowest live mode = reaction coordinate
-
-        dx = np.zeros(3 * n)
-        for i in live_ids:
-            gi = g @ evecs[:, i]
-            if i == mode:
-                # walk uphill along the lowest mode
-                denom = abs(evals[i])
-                dx += (gi / denom) * evecs[:, i]
-            else:
-                dx -= (gi / abs(evals[i])) * evecs[:, i]
-
-        norm = np.linalg.norm(dx)
-        if norm > trust_radius:
-            dx *= trust_radius / norm
-        x = x + dx.reshape(n, 3)
-
-        if step % 10 == 0:
-            log(
-                f"    saddle step {step}: E = {float(e):.3f}, fmax = {fmax_now:.3f}, "
-                f"lowest mode = {evals[live_ids[0]]:.1f}"
-            )
-
-    e, f = calc.energy_and_forces(jnp.asarray(x))
-    fmax_now = float(np.max(np.linalg.norm(np.asarray(f), axis=-1)))
-    return SaddleResult(x, float(e), fmax_now, fmax_now < fmax, max_steps)
+    res = saddle_refine_batch(
+        calc, np.asarray(coords)[None], fmax=fmax, max_steps=max_steps, trust_radius=trust_radius
+    )
+    if logfunction is not None:
+        logfunction(
+            f"    saddle refine: E = {res.energies[0]:.3f}, fmax = {res.fmax[0]:.3f} "
+            f"after {res.n_steps} steps"
+        )
+    return SaddleResult(
+        coords=res.coords[0],
+        energy=float(res.energies[0]),
+        fmax=float(res.fmax[0]),
+        converged=bool(res.converged[0]),
+        n_steps=res.n_steps,
+    )
 
 
 def irc_relax(
