@@ -166,6 +166,49 @@ def bench_csearch() -> None:
     )
 
 
+def bench_pallas_ab() -> dict:
+    """Isolated A/B of the fused Pallas QCP tile vs the jnp path: the full
+    8192^2 minimum-RMSD matrix (rmsd-only, the Pallas production use case).
+    Returns {} off-TPU (interpret mode would measure nothing useful)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return {}
+    from firecode_tpu.ops.pallas_qcp import pallas_rmsd_tile
+    from firecode_tpu.ops.rmsd import (
+        _pairwise_correlation,
+        _qcp_lambda_max,
+        _rmsd_from_lambda,
+        center_coords,
+    )
+
+    k, n = 8192, 50
+    rng = np.random.default_rng(0)
+    ac, ga, wsum = center_coords(
+        jnp.asarray(rng.normal(size=(k, n, 3)).astype(np.float32) * 2.0)
+    )
+
+    @jax.jit
+    def jnp_path(ac, ga):
+        s = _pairwise_correlation(ac, ac)
+        lam = _qcp_lambda_max(s, ga[:, None], ga[None, :])
+        return jnp.sum(_rmsd_from_lambda(ga[:, None], ga[None, :], lam, wsum))
+
+    @jax.jit
+    def pallas_path(ac, ga):
+        return jnp.sum(pallas_rmsd_tile(ac, ga, ac, ga, wsum))
+
+    out = {}
+    for name, fn in (("jnp", jnp_path), ("pallas", pallas_path)):
+        fn(ac, ga).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            fn(ac, ga).block_until_ready()
+        out[f"rmsd_8k_{name}_ms"] = round((time.perf_counter() - t0) / 3 * 1000, 1)
+    return out
+
+
 def main() -> None:
     if os.environ.get("FIRECODE_BENCH_MODE") == "csearch":
         bench_csearch()
@@ -181,18 +224,17 @@ def main() -> None:
     n_kept2, elapsed = run_cascade(coords, atomnos, block)
     assert n_kept == n_kept2
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{n_confs}-conformer MOI+RMSD(+rot-corr) prune cascade wall-clock",
-                "value": round(elapsed, 3),
-                "unit": "s",
-                "vs_baseline": round(10.0 / elapsed, 2),
-                "n_kept": n_kept,
-                "n_confs": n_confs,
-            }
-        )
-    )
+    record = {
+        "metric": f"{n_confs}-conformer MOI+RMSD(+rot-corr) prune cascade wall-clock",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(10.0 / elapsed, 2),
+        "n_kept": n_kept,
+        "n_confs": n_confs,
+    }
+    if os.environ.get("FIRECODE_BENCH_SKIP_PALLAS_AB") != "1":
+        record.update(bench_pallas_ab())
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -21,9 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-_NEWTON_ITERS = 40
-BK = 128
-BL = 128
+_NEWTON_ITERS = 24
+BK = 256
+BL = 256
 
 
 def _qcp_epilogue(s, ga, gb, wsum):
@@ -161,6 +161,45 @@ def _prep_and_run(a: jnp.ndarray, b: jnp.ndarray, interpret: bool) -> jnp.ndarra
         interpret,
     )
     return out[:k, :l]
+
+
+def pallas_rmsd_tile(
+    ac: jnp.ndarray,
+    ga: jnp.ndarray,
+    bc: jnp.ndarray,
+    gb: jnp.ndarray,
+    wsum,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused RMSD tile from ALREADY-CENTERED coordinates (cascade fast path).
+
+    ac: [K, N, 3] centered (optionally sqrt(w)-prescaled), ga: [K] squared
+    norms, likewise bc/gb; wsum as in ops.rmsd.center_coords. Jit/loop-safe:
+    this is what prune/cascade.py calls inside its blockwise greedy engine,
+    so the (K, L, 3, 3) correlation tensor of the jnp path never exists.
+    Returns [K, L] in the input dtype (kernel math is f32).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    k, n, _ = ac.shape
+    l = bc.shape[0]
+    kp = -(-k // BK) * BK
+    lp = -(-l // BL) * BL
+    npad = -(-n // 128) * 128
+
+    def planes(c, rows, rows_pad):
+        p = jnp.transpose(c.astype(jnp.float32), (2, 0, 1))
+        return jnp.pad(p, ((0, 0), (0, rows_pad - rows), (0, npad - n)))
+
+    out = _pairwise_rmsd_pallas_padded(
+        planes(ac, k, kp),
+        planes(bc, l, lp),
+        jnp.pad(ga.astype(jnp.float32), (0, kp - k))[None, :],
+        jnp.pad(gb.astype(jnp.float32), (0, lp - l))[None, :],
+        jnp.full((1, 1), wsum, jnp.float32),
+        interpret,
+    )
+    return out[:k, :l].astype(ac.dtype)
 
 
 def pairwise_rmsd_pallas(

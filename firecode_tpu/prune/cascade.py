@@ -184,15 +184,30 @@ def _rmsd_maxdev_block(
     wsum,
     use_maxdev: bool,
     thr=None,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
-    s = _pairwise_correlation(ac, bc)
-    lam = _qcp_lambda_max(s, ga[:, None], gb[None, :])
-    rmsd = _rmsd_from_lambda(ga[:, None], gb[None, :], lam, wsum)
+    if use_pallas:
+        # fused VMEM tile: the (K, L, 3, 3) correlation tensor never reaches
+        # HBM; rotation recovery for the max-deviation criterion (rare after
+        # the MOI stage) lazily recomputes s/lam below
+        from firecode_tpu.ops.pallas_qcp import pallas_rmsd_tile
+
+        rmsd = pallas_rmsd_tile(ac, ga, bc, gb, wsum)
+        s = lam = None
+    else:
+        s = _pairwise_correlation(ac, bc)
+        lam = _qcp_lambda_max(s, ga[:, None], gb[None, :])
+        rmsd = _rmsd_from_lambda(ga[:, None], gb[None, :], lam, wsum)
     if not use_maxdev:
         return rmsd, None
 
     def compute(_):
-        rot = qcp_rotation(s, lam)  # [K, L, 3, 3]
+        if use_pallas:
+            s_ = _pairwise_correlation(ac, bc)
+            lam_ = _qcp_lambda_max(s_, ga[:, None], gb[None, :])
+        else:
+            s_, lam_ = s, lam
+        rot = qcp_rotation(s_, lam_)  # [K, L, 3, 3]
         return _maxdev_from_rotation(ac, bc, rot)
 
     if thr is not None:
@@ -207,10 +222,11 @@ def _rmsd_maxdev_block(
     return rmsd, maxdev
 
 
-def _make_rmsd_sim(thr, max_dE, use_maxdev: bool, wsum) -> SimFn:
+def _make_rmsd_sim(thr, max_dE, use_maxdev: bool, wsum, use_pallas: bool = False) -> SimFn:
     def sim_fn(row: dict, col: dict) -> jnp.ndarray:
         rmsd, maxdev = _rmsd_maxdev_block(
-            row["c"], row["g"], col["c"], col["g"], wsum, use_maxdev, thr=thr
+            row["c"], row["g"], col["c"], col["g"], wsum, use_maxdev, thr=thr,
+            use_pallas=use_pallas,
         )
         sim = rmsd < thr
         if maxdev is not None:
@@ -220,7 +236,10 @@ def _make_rmsd_sim(thr, max_dE, use_maxdev: bool, wsum) -> SimFn:
     return sim_fn
 
 
-@partial(jax.jit, static_argnames=("use_maxdev", "block", "has_energies", "has_mask"))
+@partial(
+    jax.jit,
+    static_argnames=("use_maxdev", "block", "has_energies", "has_mask", "use_pallas"),
+)
 def _prune_rmsd_device(
     coords: jnp.ndarray,
     energies: jnp.ndarray,
@@ -231,6 +250,7 @@ def _prune_rmsd_device(
     block: int,
     has_energies: bool,
     has_mask: bool,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     b = coords.shape[0]
     weights = atom_mask.astype(coords.dtype) if has_mask else None
@@ -242,8 +262,27 @@ def _prune_rmsd_device(
     if has_energies:
         feats["energies"] = energies
     feats, valid, _ = _pad_block(feats, b, block)
-    sim_fn = _make_rmsd_sim(thr, max_dE, use_maxdev, wsum)
+    sim_fn = _make_rmsd_sim(thr, max_dE, use_maxdev, wsum, use_pallas=use_pallas)
     return _blockwise_greedy(feats, valid, sim_fn, block)[:b]
+
+
+def pallas_default(use_maxdev: bool = False) -> bool:
+    """Production default for the fused Pallas RMSD tile.
+
+    On for rmsd-only screens on real TPU backends — measured 3.2x over the
+    jnp path at 8192^2 pairs (the correlation tensor never leaves VMEM) and
+    ~even at the cascade's 1024 block. Off when the max-deviation criterion
+    is requested: maxdev needs the per-pair rotation, which the tile kernel
+    does not emit, so close tiles would recompute their correlations — the
+    measured full-cascade A/B (100k conformers, v5e) is 0.76 s jnp vs 0.82 s
+    pallas there. Off outside TPU (interpret mode is far slower than jnp).
+    Override with FIRECODE_TPU_PALLAS=1/0."""
+    import os
+
+    env = os.environ.get("FIRECODE_TPU_PALLAS")
+    if env is not None:
+        return env.strip().lower() not in ("0", "false", "off", "")
+    return jax.default_backend() == "tpu" and not use_maxdev
 
 
 def prune_by_rmsd(
@@ -256,6 +295,7 @@ def prune_by_rmsd(
     block: int = DEFAULT_BLOCK,
     atom_mask=None,
     mesh=None,
+    use_pallas: bool | None = None,
 ) -> np.ndarray:
     """Greedy RMSD-similarity keep mask for an ensemble [B, N, 3].
 
@@ -296,6 +336,7 @@ def prune_by_rmsd(
         block,
         has_energies,
         has_mask,
+        pallas_default(use_maxdev) if use_pallas is None else use_pallas,
     )
     return np.asarray(keep)
 
