@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend (debugging)"
     )
+    parser.add_argument(
+        "--resume",
+        default=None,
+        metavar="STATE.npz",
+        help="resume a killed run from a firecode_state_*.npz snapshot",
+    )
     args = parser.parse_args(argv)
 
     apply_env_defaults()
@@ -57,7 +63,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from firecode_tpu.driver import Embedder
 
-    embedder = Embedder(args.inputfile, stamp=args.stamp)
+    embedder = Embedder(args.inputfile, stamp=args.stamp, resume=args.resume)
     embedder.run()
 
 

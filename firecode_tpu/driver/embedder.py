@@ -85,8 +85,12 @@ def get_ts_d_estimate(z1: int, z2: int, factor: float = 1.35) -> float:
 class Embedder:
     """Parses the input file and prepares everything needed for the run."""
 
-    def __init__(self, filename: str, stamp: str | None = None) -> None:
+    def __init__(
+        self, filename: str, stamp: str | None = None, resume: str | None = None
+    ) -> None:
         self.t_start_run = time.perf_counter()
+        self.resume_path = resume
+        self._resume_done = None
         apply_env_defaults()
 
         parent = os.path.dirname(filename)
@@ -1150,8 +1154,14 @@ class RunEmbedding:
         maxiter: int | None = None,
         conv_thr: str = "tight",
         only_fixed_constraints: bool = False,
+        resume_done=None,
     ) -> None:
-        """Batched constrained relaxation of the whole ensemble."""
+        """Batched constrained relaxation of the whole ensemble.
+
+        resume_done: optional bool[B] mask of structures already optimized in
+        a previous (killed) run of THIS stage — they are skipped and their
+        snapshot energies/exit status kept."""
+        from firecode_tpu.driver.checkpoint import save_state
         from firecode_tpu.opt import Constraints, optimize_batch
 
         self.outname = (
@@ -1170,8 +1180,18 @@ class RunEmbedding:
         )
 
         calc = self._get_embed_calc()
-        self.energies = np.zeros(len(self.structures))
+        b = len(self.structures)
+        if resume_done is None:
+            done = np.zeros(b, dtype=bool)
+            self.energies = np.zeros(b)
+        else:
+            # snapshot energies/exit status of completed structures survive;
+            # the rest restart from zero like a fresh stage
+            done = np.asarray(resume_done, dtype=bool).copy()
+            self.energies = np.where(done, self.energies, 0.0)
         t_start = time.perf_counter()
+        stage_tag = f"optimization_{conv_thr}"
+        n_since_save = 0
 
         spring_k = 500.0 if only_fixed_constraints else 250.0
         groups = self._constraint_groups(only_fixed_constraints)
@@ -1180,6 +1200,10 @@ class RunEmbedding:
         dtype = np.dtype(os.environ.get("FIRECODE_TPU_DTYPE", "float32"))
 
         for (sig, ez_sig), indices in groups.items():
+            indices = np.asarray(indices)
+            indices = indices[~done[indices]]
+            if len(indices) == 0:
+                continue
             cons = Constraints()
             for i1, i2, target in sig:
                 if target is None:
@@ -1226,6 +1250,14 @@ class RunEmbedding:
             self.structures[idx[ok]] = new_coords[ok]
             self.energies[idx[ok]] = new_energy[ok]
             self.energies[idx[~ok]] = 1e10
+
+            # periodic intra-stage snapshot (reference checkpoint cadence,
+            # firecode/embedder.py:2213-2240 — but consumable via --resume)
+            done[idx] = True
+            n_since_save += len(idx)
+            if n_since_save >= self.options.checkpoint_frequency and not done.all():
+                save_state(self, stage_tag, done=done)
+                n_since_save = 0
 
         elapsed = time.perf_counter() - t_start
         self.log(
@@ -1324,34 +1356,67 @@ class RunEmbedding:
             self.log("\n--> Dry run requested: exiting.")
             self.normal_termination()
 
-        from firecode_tpu.driver.checkpoint import save_state
+        from firecode_tpu.driver.checkpoint import load_state, save_state
         from firecode_tpu.profiling import profiler
+
+        # --resume: restore a snapshot and skip the stages already completed
+        # (the reference writes checkpoints but cannot consume them —
+        # firecode/embedder.py:2213-2240; here the round-trip is real)
+        resume_stage = None
+        if getattr(self, "resume_path", None):
+            resume_stage = load_state(self, self.resume_path)
+            done = self._resume_done
+            self.log(
+                f"--> Resuming from {self.resume_path} (stage: {resume_stage}"
+                + (f", {int(done.sum())}/{len(done)} structures done)" if done is not None else ")")
+            )
+        skip = {
+            "pre_optimization": 1,
+            "optimization_loose": 1,
+            "optimization_tight": 2,
+            "post_optimization": 3,
+        }.get(resume_stage, 0)
 
         profiler.reset()
         try:
             try:
-                with profiler.timer("generate_candidates"):
-                    self.generate_candidates()
-                if self.options.bypass:
-                    self.write_structures("unoptimized", energies=False)
-                    self.normal_termination()
-                with profiler.timer("compenetration_refining"):
-                    self.compenetration_refining()
-                with profiler.timer("similarity_refining"):
-                    self.similarity_refining(
-                        rmsd=(self.embed == "refine"), verbose=True
-                    )
-                save_state(self, "pre_optimization")
-                if self.options.optimization:
-                    if len(self.structures) > 500 or self.temporary_constraints_present():
-                        with profiler.timer("optimization_loose"):
-                            self.optimization_refining(conv_thr="loose")
-                    with profiler.timer("optimization_tight"):
-                        self.optimization_refining(
-                            conv_thr="tight", only_fixed_constraints=True
+                if skip == 0:
+                    with profiler.timer("generate_candidates"):
+                        self.generate_candidates()
+                    if self.options.bypass:
+                        self.write_structures("unoptimized", energies=False)
+                        self.normal_termination()
+                    with profiler.timer("compenetration_refining"):
+                        self.compenetration_refining()
+                    with profiler.timer("similarity_refining"):
+                        self.similarity_refining(
+                            rmsd=(self.embed == "refine"), verbose=True
                         )
-                    save_state(self, "post_optimization")
-                else:
+                    save_state(self, "pre_optimization")
+                if self.options.optimization:
+                    if skip <= 1 and (
+                        len(self.structures) > 500
+                        or self.temporary_constraints_present()
+                        or resume_stage == "optimization_loose"
+                    ):
+                        with profiler.timer("optimization_loose"):
+                            self.optimization_refining(
+                                conv_thr="loose",
+                                resume_done=self._resume_done
+                                if resume_stage == "optimization_loose"
+                                else None,
+                            )
+                    if skip <= 2:
+                        with profiler.timer("optimization_tight"):
+                            self.optimization_refining(
+                                conv_thr="tight",
+                                only_fixed_constraints=True,
+                                resume_done=self._resume_done
+                                if resume_stage == "optimization_tight"
+                                else None,
+                            )
+                        save_state(self, "post_optimization")
+                elif skip == 0:
                     self.write_structures("unoptimized", energies=False)
             except ZeroCandidatesError:
                 self.log(
