@@ -41,6 +41,10 @@ def _write_constrain_file(
     path: Path,
     constrained_indices=None,
     constrained_distances=None,
+    constrained_angles_indices=None,
+    constrained_angles_values=None,
+    constrained_dihedrals_indices=None,
+    constrained_dihedrals_values=None,
     force_constant: float = 1.0,
 ) -> None:
     lines = ["$constrain", f"  force constant={force_constant}"]
@@ -52,6 +56,23 @@ def _write_constrain_file(
                 else "auto"
             )
             lines.append(f"  distance: {i1 + 1}, {i2 + 1}, {target}")
+    if constrained_angles_indices is not None:
+        for k, (a, b, c) in enumerate(constrained_angles_indices):
+            target = (
+                constrained_angles_values[k]
+                if constrained_angles_values is not None and constrained_angles_values[k]
+                else "auto"
+            )
+            lines.append(f"  angle: {a + 1}, {b + 1}, {c + 1}, {target}")
+    if constrained_dihedrals_indices is not None:
+        for k, (a, b, c, d) in enumerate(constrained_dihedrals_indices):
+            target = (
+                constrained_dihedrals_values[k]
+                if constrained_dihedrals_values is not None
+                and constrained_dihedrals_values[k]
+                else "auto"
+            )
+            lines.append(f"  dihedral: {a + 1}, {b + 1}, {c + 1}, {d + 1}, {target}")
     lines.append("$end")
     path.write_text("\n".join(lines) + "\n")
 
@@ -77,7 +98,7 @@ def _run_xtb(args: list[str], cwd: Path) -> str:
     return result.stdout
 
 
-def xtb_opt(
+def _xtb_opt_once(
     atomnos: np.ndarray,
     coords: np.ndarray,
     charge: int = 0,
@@ -85,10 +106,15 @@ def xtb_opt(
     solvent: str | None = None,
     constrained_indices=None,
     constrained_distances=None,
+    constrained_angles_indices=None,
+    constrained_angles_values=None,
+    constrained_dihedrals_indices=None,
+    constrained_dihedrals_values=None,
     conv_thr: str = "tight",
-    **_,
+    maxiter: int | None = None,
+    force_constant: float = 1.0,
 ) -> tuple[np.ndarray, float, bool]:
-    """Constrained geometry optimization -> (coords, energy kcal/mol, ok)."""
+    """One xtb optimization run -> (coords, energy kcal/mol, ok)."""
     atoms = symbols_from_atomnos(atomnos)
     gfn = {"GFN-FF": "--gfnff", "GFN1-XTB": "--gfn 1", "GFN2-XTB": "--gfn 2"}.get(
         method.upper(), "--gfn 2"
@@ -97,11 +123,28 @@ def xtb_opt(
         tmpdir = Path(tmp)
         write_xyz(tmpdir / "in.xyz", atoms, coords)
         args = ["in.xyz", "--opt", conv_thr, "--chrg", str(charge), *gfn.split()]
+        if maxiter:
+            args += ["--cycles", str(maxiter)]
         if solvent:
             args += ["--alpb", solvent]
-        if constrained_indices is not None and len(constrained_indices):
+        has_constraints = any(
+            x is not None and len(x)
+            for x in (
+                constrained_indices,
+                constrained_angles_indices,
+                constrained_dihedrals_indices,
+            )
+        )
+        if has_constraints:
             _write_constrain_file(
-                tmpdir / "constraints.inp", constrained_indices, constrained_distances
+                tmpdir / "constraints.inp",
+                constrained_indices,
+                constrained_distances,
+                constrained_angles_indices,
+                constrained_angles_values,
+                constrained_dihedrals_indices,
+                constrained_dihedrals_values,
+                force_constant=force_constant,
             )
             args += ["--input", "constraints.inp"]
         try:
@@ -113,6 +156,66 @@ def xtb_opt(
             return opt_coords[0], energy, True
         except (RuntimeError, FileNotFoundError, ValueError):
             return coords, 1e10, False
+
+
+def xtb_opt(
+    atomnos: np.ndarray,
+    coords: np.ndarray,
+    charge: int = 0,
+    method: str = "GFN2-xTB",
+    solvent: str | None = None,
+    constrained_indices=None,
+    constrained_distances=None,
+    conv_thr: str = "tight",
+    recursive_stepsize: float = 0.3,
+    spring_constant: float = 0.25,
+    **kwargs,
+) -> tuple[np.ndarray, float, bool]:
+    """Constrained geometry optimization -> (coords, energy kcal/mol, ok).
+
+    Anti-scrambling constrained approach (reference firecode/calculators/
+    xtb.py:120-171, implemented iteratively instead of recursively): when a
+    distance constraint's target is further than `recursive_stepsize` from
+    the current geometry, the distance is walked toward the target in
+    `recursive_stepsize` rungs — each rung a short loose optimization with a
+    SOFT spring (`spring_constant`) followed by snapping the second atom
+    along the bond vector — so the rest of the molecule relaxes gradually
+    instead of being yanked across a large gap in one stiff pull."""
+    coords = np.asarray(coords, dtype=np.float64).copy()
+    if constrained_indices is not None and constrained_distances is not None:
+        targets = list(constrained_distances)
+        for k, (pair, target) in enumerate(zip(constrained_indices, targets)):
+            if target is None or len(pair) != 2:
+                continue
+            a, b = int(pair[0]), int(pair[1])
+            d = float(np.linalg.norm(coords[b] - coords[a]))
+            guard = 0
+            while abs(d - target) > recursive_stepsize and guard < 64:
+                rung = [*targets]
+                rung[k] = d - recursive_stepsize * np.sign(d - target)
+                coords, _, ok = _xtb_opt_once(
+                    atomnos, coords, charge=charge, method=method, solvent=solvent,
+                    constrained_indices=constrained_indices,
+                    constrained_distances=rung,
+                    conv_thr="loose", maxiter=50, force_constant=spring_constant,
+                    **kwargs,
+                )
+                if not ok:
+                    return coords, 1e10, False
+                d = float(np.linalg.norm(coords[b] - coords[a]))
+                guard += 1
+            # snap the stretched atom exactly onto the target distance
+            vec = coords[b] - coords[a]
+            d = float(np.linalg.norm(vec))
+            if d > 1e-9:
+                coords[b] -= vec / d * (d - target)
+
+    return _xtb_opt_once(
+        atomnos, coords, charge=charge, method=method, solvent=solvent,
+        constrained_indices=constrained_indices,
+        constrained_distances=constrained_distances,
+        conv_thr=conv_thr, **kwargs,
+    )
 
 
 def xtb_energy_and_gradient(

@@ -309,3 +309,42 @@ def scramble_check(
     excluded = set(excluded_atoms)
     delta = {bond for bond in delta if not (bond[0] in excluded or bond[1] in excluded)}
     return len(delta) <= max_newbonds
+
+
+def molecule_check_batch(
+    atoms: np.ndarray,
+    coords_before: np.ndarray,
+    coords_after: np.ndarray,
+    max_newbonds: int = 0,
+    factor: float = BOND_FACTOR,
+) -> np.ndarray:
+    """Batched molecule_check (firecode/utils.py:341-355): compare each
+    conformer's bond matrix BEFORE vs AFTER an operation, [B, N, 3] x2 ->
+    bool[B]. One device call: batched distance-based bond perception on both
+    batches, xor, upper-triangle count against max_newbonds."""
+    import jax.numpy as jnp
+
+    atomnos = _as_atomnos(atoms)
+    n = len(atomnos)
+    before = np.asarray(coords_before).reshape(-1, n, 3)
+    after = np.asarray(coords_after).reshape(-1, n, 3)
+    if len(before) == 1 and len(after) > 1:
+        before = np.broadcast_to(before, after.shape)
+
+    radii = COVALENT_RADII[atomnos]
+    cutoff = jnp.asarray(factor * (radii[:, None] + radii[None, :]))
+    triu = jnp.asarray(np.triu(np.ones((n, n), dtype=bool), k=1))
+
+    chunk = max(1, (1 << 24) // max(n * n, 1))
+    out = np.empty(len(after), dtype=bool)
+    for s in range(0, len(after), chunk):
+        b = jnp.asarray(before[s : s + chunk])
+        a = jnp.asarray(after[s : s + chunk])
+
+        def bonds(c):
+            diff = c[:, :, None, :] - c[:, None, :, :]
+            return jnp.sqrt(jnp.sum(diff * diff, axis=-1)) < cutoff
+
+        delta = (bonds(b) ^ bonds(a)) & triu
+        out[s : s + chunk] = np.asarray(jnp.sum(delta, axis=(1, 2)) <= max_newbonds)
+    return out

@@ -96,3 +96,32 @@ def get_epsilon(name: str) -> float:
     if canonical not in epsilon_dict:
         raise KeyError(f"Unknown solvent {name!r}; known: {sorted(epsilon_dict)}")
     return epsilon_dict[canonical]
+
+
+# canonical name -> the name the xtb/crest binaries expect (ALPB/GBSA tables)
+# (reference: firecode/solvents.py to_xtb_solvents role)
+xtb_solvent_names: dict[str, str] = {
+    "dcm": "ch2cl2",
+    "chloroform": "chcl3",
+    "acetonitrile": "acetonitrile",
+    "acetone": "acetone",
+    "benzene": "benzene",
+    "carbontetrachloride": "ccl4",
+    "diethylether": "ether",
+    "dmf": "dmf",
+    "dmso": "dmso",
+    "ethanol": "ethanol",
+    "ethylacetate": "ethylacetate",
+    "hexane": "hexane",
+    "methanol": "methanol",
+    "2-propanol": "2-propanol",
+    "thf": "thf",
+    "toluene": "toluene",
+    "water": "water",
+}
+
+
+def get_xtb_solvent_name(name: str) -> str:
+    """Solvent string for xtb/crest command lines (falls back to the input)."""
+    canonical = normalize_solvent(name)
+    return xtb_solvent_names.get(canonical, canonical)
