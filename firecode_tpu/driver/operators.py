@@ -475,6 +475,7 @@ def freq_operator(filename: str, embedder) -> str:
 
     mol = _mol_for(filename, embedder)
     calc = _get_calc(embedder, mol)
+    energies = np.asarray(calc.energy(jnp.asarray(mol.coords)))
     hessians = np.asarray(batch_hessian(calc, jnp.asarray(mol.coords)))
     report = []
     for c, h in enumerate(hessians):
@@ -483,6 +484,7 @@ def freq_operator(filename: str, embedder) -> str:
         data = rrho_thermo(
             vib, mol.coords[c], mol.atomnos,
             T=embedder.options.T, P=embedder.options.P, C=embedder.options.C,
+            solvent=embedder.options.solvent,
         )
         embedder.log(
             f"    Conformer {c + 1}: {n_imag} imag, lowest vib "
@@ -493,9 +495,27 @@ def freq_operator(filename: str, embedder) -> str:
                 "conformer": c + 1,
                 "frequencies_cm-1": [round(float(f), 2) for f in vib],
                 "n_imaginary": int(n_imag),
-                **{k: round(float(v), 5) for k, v in data.items()},
+                **{
+                    k: round(float(v), 5)
+                    for k, v in data.items()
+                    if np.isscalar(v)
+                },
+                "rot_table_sigma_TSrot": [
+                    [sn, round(ts, 5)] for sn, ts in data["rot_table"]
+                ],
             }
         )
+        if c == 0:
+            # ORCA-mock .out for the best conformer (reference
+            # thermochemistry.py:490-511)
+            from firecode_tpu.thermo import write_orca_mock_out
+
+            out_mock = f"{Path(filename).stem}_freq.out"
+            write_orca_mock_out(
+                out_mock, mol.atomnos, vib, float(energies[c]), data,
+                T=embedder.options.T, charge=mol.charge,
+            )
+            embedder.log(f"    Wrote ORCA-style artifact to {out_mock}")
     # JSON artifact with the full thermochemistry (reference writes a JSON
     # dump + ORCA-mock .out, thermochemistry.py:481-511)
     import json

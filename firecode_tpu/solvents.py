@@ -125,3 +125,50 @@ def get_xtb_solvent_name(name: str) -> str:
     """Solvent string for xtb/crest command lines (falls back to the input)."""
     canonical = normalize_solvent(name)
     return xtb_solvent_names.get(canonical, canonical)
+
+
+# Shakhnovich-Whitesides free-space data: canonical name -> (molarity mol/L,
+# molecular volume A^3). Experimental values where available (reference
+# firecode/solvents.py:86-120 / organicchemistrydata.org); other solvents
+# fall back to bulk values derived from physical_data.
+free_space_data: dict[str, tuple[float, float]] = {
+    "water": (55.6, 27.944),
+    "toluene": (9.4, 149.070),
+    "dmf": (12.9, 77.442),
+    "chloroform": (12.5, 97.0),
+}
+
+AVOGADRO_NA = 6.02214076e23
+
+
+def free_space_ml_per_l(solvent: str | None) -> float:
+    """Accessible free space (mL per L of bulk solvent) for a solute.
+
+    Shakhnovich & Whitesides, J. Org. Chem. 1998, 63, 3821: the free volume
+    per solvent molecule is v_free = 8 (d - v_m^(1/3))^3 with d the average
+    intermolecular spacing (1e27/(M Na))^(1/3) A. None -> 1000 (whole liter,
+    i.e. no correction). Note: for solvents without tabulated data the
+    molarity is 1000 * density / MW (the reference's estimator at
+    solvents.py:216-217 inverts this ratio; we use the dimensionally correct
+    form)."""
+    if not solvent:
+        return 1000.0
+    canonical = normalize_solvent(solvent)
+    if canonical in free_space_data:
+        molarity, mol_volume = free_space_data[canonical]
+    elif canonical in physical_data:
+        mw, density = physical_data[canonical]
+        molarity = 1000.0 * density / mw
+        # bulk volume would make spacing == size (zero free space by
+        # construction); estimate the vdW molecular volume with a typical
+        # liquid packing coefficient of 0.6
+        mol_volume = 0.6 * mw / density / AVOGADRO_NA * 1e24  # A^3 per molecule
+    else:
+        raise KeyError(
+            f"Unknown solvent {solvent!r} for quasi-RRHO free-space; known: "
+            f"{sorted(set(free_space_data) | set(physical_data))}"
+        )
+    spacing = (1e27 / (molarity * AVOGADRO_NA)) ** (1.0 / 3.0)
+    gap = max(spacing - mol_volume ** (1.0 / 3.0), 0.02)  # floor: avoid log(0)
+    v_free = 8.0 * gap**3  # A^3 per molecule
+    return float(v_free * molarity * AVOGADRO_NA * 1e-24)  # mL per L

@@ -39,7 +39,12 @@ J_PER_MOL_TO_KCAL = 1.0 / 4184.0
 H_C_KB = PLANCK_J_S * C_CM_S / KB_J_K  # cm * K
 
 FREE_ROTOR_CUTOFF_CM = 100.0  # Grimme interpolation reference frequency
-B_AV = 1e-44  # average molecular moment of inertia (kg m^2) for free-rotor
+# Fallback average molecular moment of inertia (kg m^2) for the free-rotor
+# moment composition when the molecule's own moments are unavailable. When
+# coordinates are at hand, rrho_thermo uses the molecule's actual mean
+# principal moment instead (the reference's I_av, thermochemistry.py:252-254)
+# — B_AV only matters for direct vibrational_entropy_qrrho calls without it.
+B_AV = 1e-44
 
 
 def zero_point_energy(freqs_cm: np.ndarray) -> float:
@@ -63,8 +68,14 @@ def vibrational_energy(freqs_cm: np.ndarray, T: float) -> float:
     return float(e)
 
 
-def vibrational_entropy_qrrho(freqs_cm: np.ndarray, T: float) -> float:
-    """Grimme-interpolated vibrational entropy, kcal/(mol K)."""
+def vibrational_entropy_qrrho(
+    freqs_cm: np.ndarray, T: float, i_av: float | None = None
+) -> float:
+    """Grimme-interpolated vibrational entropy, kcal/(mol K).
+
+    i_av: the molecule's mean principal moment of inertia (kg m^2) used in
+    the free-rotor effective-moment composition mu_eff = mu I_av/(mu + I_av);
+    defaults to the generic B_AV when not supplied."""
     nu = freqs_cm[freqs_cm > 0]
     x = _theta(nu) / T
     x = np.clip(x, 1e-12, 500)
@@ -73,7 +84,8 @@ def vibrational_entropy_qrrho(freqs_cm: np.ndarray, T: float) -> float:
     # free-rotor entropy for each mode
     omega = C_CM_S * nu  # 1/s (linear frequency nu*c)
     mu = PLANCK_J_S / (8.0 * np.pi**2 * omega)
-    mu_eff = mu * B_AV / (mu + B_AV)
+    b_av = B_AV if i_av is None else i_av
+    mu_eff = mu * b_av / (mu + b_av)
     s_fr = R_KCAL * (
         0.5
         + np.log(
@@ -92,17 +104,25 @@ def translational_entropy(
     T: float,
     P_atm: float | None = None,
     C_mol_l: float | None = None,
+    solvent: str | None = None,
 ) -> float:
     """Sackur-Tetrode S_trans, kcal/(mol K).
 
-    Reference state: gas at P_atm, or solution at concentration C_mol_l
-    (the volume per molecule becomes 1/(C*Na)) — firecode/thermochemistry.py:
-    71-100 free-space analog, simplified to the concentration volume.
+    Reference state: gas at P_atm, or solution at concentration C_mol_l with
+    the per-molecule volume scaled by the Shakhnovich-Whitesides free-space
+    fraction of the named solvent (firecode/thermochemistry.py:71-100;
+    solvent None in solution means no free-space reduction).
     """
     m = mass_amu * AMU_KG
     lam = PLANCK_J_S / np.sqrt(2.0 * np.pi * m * KB_J_K * T)  # thermal wavelength, m
     if C_mol_l is not None and P_atm is None:
-        v = 1.0 / (C_mol_l * 1000.0 * AVOGADRO)  # m^3 per molecule
+        # solution reference state: the accessible volume per solute molecule
+        # is reduced to the Shakhnovich-Whitesides free space of the bulk
+        # solvent (reference thermochemistry.py:71-100, 208-215)
+        from firecode_tpu.solvents import free_space_ml_per_l
+
+        free_frac = max(free_space_ml_per_l(solvent) / 1000.0, 1e-9)
+        v = free_frac / (C_mol_l * 1000.0 * AVOGADRO)  # m^3 per molecule
     else:
         p = (P_atm or 1.0) * 101325.0
         v = KB_J_K * T / p
@@ -113,7 +133,11 @@ def translational_entropy(
 def rotational_entropy(
     coords: np.ndarray, atomnos: np.ndarray, T: float, sigma: int = 1
 ) -> float:
-    """Rigid-rotor S_rot with symmetry number, kcal/(mol K)."""
+    """Rigid-rotor S_rot with symmetry number, kcal/(mol K).
+
+    Includes the reference's quantum corrections (thermochemistry.py:229-247):
+    Herzberg ln(1 + theta/(3T)) for linear rotors and the Euler-Maclaurin
+    ln(1 + sum(theta)/(12T)) term for nonlinear ones."""
     from firecode_tpu.prune.oracle import np_inertia_moments
 
     moments_amu_a2 = np_inertia_moments(coords, atomnos)  # amu A^2
@@ -121,12 +145,25 @@ def rotational_entropy(
     if is_linear(coords):
         i_b = moments[-1]
         theta_r = PLANCK_J_S**2 / (8.0 * np.pi**2 * i_b * KB_J_K)
-        return float(R_KCAL * (np.log(T / (sigma * theta_r)) + 1.0))
+        s = np.log(T / (sigma * theta_r)) + 1.0
+        s += np.log(1.0 + theta_r / (3.0 * T))  # Herzberg linear correction
+        return float(R_KCAL * s)
     theta = PLANCK_J_S**2 / (8.0 * np.pi**2 * moments.clip(1e-55) * KB_J_K)
-    s = R_KCAL * (
-        np.log(np.pi**0.5 / sigma * (T**3 / np.prod(theta)) ** 0.5) + 3.0 / 2.0
-    )
-    return float(s)
+    s = np.log(np.pi**0.5 / sigma * (T**3 / np.prod(theta)) ** 0.5) + 3.0 / 2.0
+    s += np.log(1.0 + np.sum(theta) / (12.0 * T))  # Euler-Maclaurin correction
+    return float(R_KCAL * s)
+
+
+def rotational_entropy_sweep(
+    coords: np.ndarray, atomnos: np.ndarray, T: float, max_sigma: int = 12
+) -> list[tuple[int, float]]:
+    """T*S_rot (kcal/mol) for sigma = 1..max_sigma — the reference's symmetry
+    sweep table (thermochemistry.py:316-340), so a user can correct G for the
+    molecule's real symmetry number after the fact."""
+    return [
+        (sn, T * rotational_entropy(coords, atomnos, T, sigma=sn))
+        for sn in range(1, max_sigma + 1)
+    ]
 
 
 def rrho_thermo(
@@ -137,8 +174,10 @@ def rrho_thermo(
     P: float | None = None,
     C: float | None = 0.1,
     sigma: int = 1,
-) -> dict[str, float]:
-    """Full qRRHO corrections in kcal/mol. Returns components + G_corr."""
+    solvent: str | None = None,
+) -> dict:
+    """Full qRRHO corrections in kcal/mol. Returns components + G_corr +
+    the sigma = 1..12 rotational-entropy sweep table."""
     mass = float(np.sum(MASSES[np.asarray(atomnos)]))
     linear = is_linear(coords)
     n_rot_dof = 2 if linear else 3
@@ -149,8 +188,16 @@ def rrho_thermo(
     e_rot = 0.5 * n_rot_dof * R_KCAL * T
     h_corr = zpe + e_vib + e_trans + e_rot + R_KCAL * T  # +RT: H = U + pV
 
-    s_vib = vibrational_entropy_qrrho(freqs_cm, T)
-    s_trans = translational_entropy(mass, T, P_atm=P, C_mol_l=C if P is None else None)
+    # free-rotor composition uses this molecule's actual mean moment
+    from firecode_tpu.prune.oracle import np_inertia_moments
+
+    moments = np_inertia_moments(coords, atomnos) * AMU_KG * 1e-20  # kg m^2
+    i_av = float(np.mean(moments)) if np.any(moments > 0) else None
+
+    s_vib = vibrational_entropy_qrrho(freqs_cm, T, i_av=i_av)
+    s_trans = translational_entropy(
+        mass, T, P_atm=P, C_mol_l=C if P is None else None, solvent=solvent
+    )
     s_rot = rotational_entropy(coords, atomnos, T, sigma=sigma)
     s_tot = s_vib + s_trans + s_rot
 
@@ -164,7 +211,61 @@ def rrho_thermo(
         "ts": T * s_tot,
         "g_corr": g_corr,
         "n_imag": int(np.sum(freqs_cm < 0)),
+        "rot_table": rotational_entropy_sweep(coords, atomnos, T),
     }
+
+
+def write_orca_mock_out(
+    path,
+    atomnos: np.ndarray,
+    freqs_cm: np.ndarray,
+    e_el_kcal: float,
+    thermo: dict,
+    T: float = 298.15,
+    charge: int = 0,
+) -> None:
+    """ORCA-style .out artifact so downstream tools that grep ORCA outputs
+    keep working (reference thermochemistry.py:490-511)."""
+    from firecode_tpu.units import EH_TO_KCAL
+
+    e_eh = e_el_kcal / EH_TO_KCAL
+    gcorr_eh = thermo["g_corr"] / EH_TO_KCAL
+    g_eh = e_eh + gcorr_eh
+    h_eh = (e_el_kcal + thermo["h_corr"]) / EH_TO_KCAL
+    s_eh_k = (h_eh - g_eh) / T
+    rt_eh = R_KCAL * T / EH_TO_KCAL
+
+    lines = [
+        "--> What follows mocks an ORCA output:",
+        "",
+        f"Number of atoms ... {len(np.asarray(atomnos))}",
+        f"Total Charge ... ... {charge}",
+        "",
+        f"Temperature ...: {T:.2f} K ({T - 273.15:.2f} C)",
+        "VIBRATIONAL FREQUENCIES",
+        "-------------------------------------",
+    ]
+    for i, f in enumerate(np.asarray(freqs_cm)):
+        lines.append(f"  {i:>4}:    {f:4.2f} cm**-1")
+    lines += [
+        "",
+        f"FINAL SINGLE POINT ENERGY {e_eh:.8f} Eh",
+        f"FINAL GIBBS FREE ENERGY {g_eh:.8f} Eh",
+        f"G-E(el) ... {gcorr_eh:.8f} Eh     {thermo['g_corr']:.2f} kcal/mol",
+        "",
+        f"Thermal Enthalpy correction ... {rt_eh:.8f} Eh",
+        f"Total correction {h_eh - e_eh - rt_eh:.8f} Eh",
+        f"Total enthalpy ... {h_eh:.8f} Eh",
+        "",
+        f"Final entropy term ... {s_eh_k:.8f} Eh/K",
+        "",
+        "Rotational entropy sweep (T*S_rot, kcal/mol):",
+    ]
+    for sn, ts_rot in thermo.get("rot_table", []):
+        lines.append(f"  sn = {sn:>2}: {ts_rot:10.4f}")
+    lines += ["", "*** ORCA TERMINATED NORMALLY ***", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
 
 
 def get_free_energies(
@@ -191,7 +292,7 @@ def get_free_energies(
     for i, (coords, h) in enumerate(zip(structures, hessians)):
         freqs_all, _ = mass_weighted_frequencies(h, atomnos)
         vib, n_imag = cleanup_frequencies(freqs_all, coords, expect_ts=expect_ts)
-        data = rrho_thermo(vib, coords, atomnos, T=T, P=P, C=C)
+        data = rrho_thermo(vib, coords, atomnos, T=T, P=P, C=C, solvent=solvent)
         out[i] = energies[i] + data["g_corr"]
         if logfunction is not None:
             tag = f" ({n_imag} imag)" if n_imag else ""

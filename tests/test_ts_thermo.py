@@ -179,3 +179,107 @@ def test_idpp_interpolation_avoids_collisions(butane_endpoints):
     # idpp intermediate images should not compress the closest contact more
     # than the linear path does
     assert min_dist(idpp) >= min_dist(linear) - 1e-6
+
+
+# ---------------------------------------------------------------- golden
+# Component-level golden checks of the qRRHO formulas (VERDICT round-1
+# item 8), computed from first principles in the test body.
+
+WATER = np.array([[0.0, 0.0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]])
+WATER_Z = np.array([8, 1, 1])
+WATER_FREQS = np.array([1595.0, 3657.0, 3756.0])
+
+
+def test_water_zpe_golden():
+    from firecode_tpu.thermo import zero_point_energy
+
+    # ZPE = 0.5 h c sum(nu) Na: 0.5 * 9008 cm-1 -> 12.88 kcal/mol
+    h, c, na = 6.62607015e-34, 2.99792458e10, 6.02214076e23
+    want = 0.5 * h * c * WATER_FREQS.sum() * na / 4184.0
+    assert abs(zero_point_energy(WATER_FREQS) - want) < 1e-6
+    assert 12.5 < zero_point_energy(WATER_FREQS) < 13.2
+
+
+def test_water_gas_translational_entropy_golden():
+    from firecode_tpu.thermo import translational_entropy
+
+    # textbook Sackur-Tetrode for H2O at 298.15 K, 1 atm: 34.61 cal/mol/K
+    s = translational_entropy(18.015, 298.15, P_atm=1.0)
+    assert abs(s * 1000.0 - 34.61) < 0.05
+
+
+def test_solution_free_space_reduces_entropy():
+    from firecode_tpu.thermo import translational_entropy
+
+    s_gas_like = translational_entropy(18.015, 298.15, C_mol_l=1.0, solvent=None)
+    s_solution = translational_entropy(18.015, 298.15, C_mol_l=1.0, solvent="water")
+    # free space < 1 L/L => fewer accessible states => lower entropy
+    assert s_solution < s_gas_like
+    # the reduction is R ln(free_frac)
+    from firecode_tpu.solvents import free_space_ml_per_l
+
+    from firecode_tpu.units import R_KCAL
+
+    want_delta = R_KCAL * np.log(free_space_ml_per_l("water") / 1000.0)
+    assert abs((s_solution - s_gas_like) - want_delta) < 1e-9
+
+
+def test_rotational_symmetry_number_golden():
+    from firecode_tpu.thermo import rotational_entropy
+
+    s1 = rotational_entropy(WATER, WATER_Z, 298.15, sigma=1)
+    s2 = rotational_entropy(WATER, WATER_Z, 298.15, sigma=2)
+    # S(sigma) = S(1) - R ln(sigma)
+    from firecode_tpu.units import R_KCAL
+
+    assert abs((s1 - s2) - R_KCAL * np.log(2.0)) < 1e-9
+    # water's rigid-rotor S_rot (sigma=2) is ~10.4-10.5 cal/mol/K
+    assert 10.0 < s2 * 1000.0 < 11.0
+
+
+def test_rotational_sweep_table():
+    from firecode_tpu.thermo import rotational_entropy_sweep
+
+    table = rotational_entropy_sweep(WATER, WATER_Z, 298.15)
+    assert len(table) == 12
+    assert [sn for sn, _ in table] == list(range(1, 13))
+    vals = [v for _, v in table]
+    assert all(a > b for a, b in zip(vals, vals[1:]))  # decreasing with sigma
+
+
+def test_rrho_thermo_components_and_orca_mock(tmp_path):
+    from firecode_tpu.thermo import rrho_thermo, write_orca_mock_out
+
+    data = rrho_thermo(WATER_FREQS, WATER, WATER_Z, T=298.15, P=1.0, C=None)
+    # H_corr = ZPE + E_vib + 4 RT (3/2 trans + 3/2 rot + RT); water's thermal
+    # vib energy is ~0 at 298 K (all modes > 1500 cm-1)
+    from firecode_tpu.units import R_KCAL
+
+    rt = R_KCAL * 298.15
+    assert abs(data["h_corr"] - (data["zpe"] + 4.0 * rt)) < 0.01
+    assert data["n_imag"] == 0
+    assert len(data["rot_table"]) == 12
+
+    write_orca_mock_out(
+        tmp_path / "mock.out", WATER_Z, WATER_FREQS, -100.0, data, T=298.15
+    )
+    text = (tmp_path / "mock.out").read_text()
+    assert "*** ORCA TERMINATED NORMALLY ***" in text
+    assert "FINAL GIBBS FREE ENERGY" in text
+    import re
+
+    g_eh = float(re.search(r"FINAL GIBBS FREE ENERGY (-?\d+\.\d+)", text).group(1))
+    from firecode_tpu.units import EH_TO_KCAL
+
+    assert abs(g_eh * EH_TO_KCAL - (-100.0 + data["g_corr"])) < 1e-3
+
+
+def test_qrrho_iav_uses_molecule_moments():
+    from firecode_tpu.thermo import vibrational_entropy_qrrho
+
+    lowfreqs = np.array([30.0, 60.0])
+    s_small = vibrational_entropy_qrrho(lowfreqs, 298.15, i_av=1e-46)
+    s_big = vibrational_entropy_qrrho(lowfreqs, 298.15, i_av=1e-43)
+    # a larger average moment -> larger effective free-rotor moment -> more
+    # free-rotor entropy for low modes
+    assert s_big > s_small
