@@ -18,7 +18,9 @@ from firecode_tpu.calculators.base import Calculator
 from firecode_tpu.calculators.forcefield import LiteFF
 from firecode_tpu.errors import MissingExternalError
 
-KNOWN_CALCULATORS = ("LITEFF", "LITEFF-R", "XTB", "TBLITE", "ORCA", "AIMNET2", "UMA")
+KNOWN_CALCULATORS = (
+    "LITEFF", "LITEFF-R", "MLIP", "XTB", "TBLITE", "ORCA", "AIMNET2", "UMA"
+)
 
 
 class Dispatcher:
@@ -52,6 +54,15 @@ class Dispatcher:
             from firecode_tpu.calculators.reactive_ff import ReactiveFF
 
             calc = ReactiveFF(atomnos, charge=charge)
+            if solvent is not None:
+                from firecode_tpu.calculators.solvation import solvate
+
+                calc = solvate(calc, atomnos, solvent, total_charge=charge)
+            return calc
+        if self.calculator == "MLIP":
+            from firecode_tpu.calculators.mlip import load_mlip
+
+            calc = load_mlip(atomnos)
             if solvent is not None:
                 from firecode_tpu.calculators.solvation import solvate
 

@@ -277,6 +277,54 @@ def ff_energy(coords: jnp.ndarray, top: FFTopology) -> jnp.ndarray:
     return e
 
 
+def ff_energy_pbc(coords: jnp.ndarray, top: FFTopology, box) -> jnp.ndarray:
+    """LiteFF energy under cubic periodic boundary conditions (edge `box`).
+
+    Bonded terms (bonds/angles/torsions) use the raw coordinates — molecules
+    are kept whole/unwrapped by the MD integrator — while the nonbonded term
+    applies the minimum-image convention, so solvent boxes interact across
+    the boundary (reference capability: ASE PBC dynamics,
+    firecode/md/equilibration.py:93-277)."""
+    e = jnp.asarray(0.0, dtype=coords.dtype)
+
+    if top.bonds.shape[0]:
+        bi = coords[top.bonds[:, 0]]
+        bj = coords[top.bonds[:, 1]]
+        r = jnp.sqrt(jnp.sum((bi - bj) ** 2, axis=-1) + 1e-12)
+        e = e + jnp.sum(0.5 * top.bond_k * (r - top.bond_r0) ** 2)
+
+    if top.angles.shape[0]:
+        ai = coords[top.angles[:, 0]]
+        ac = coords[top.angles[:, 1]]
+        aj = coords[top.angles[:, 2]]
+        v1 = ai - ac
+        v2 = aj - ac
+        cos = jnp.sum(v1 * v2, axis=-1) / jnp.sqrt(
+            jnp.sum(v1 * v1, axis=-1) * jnp.sum(v2 * v2, axis=-1) + 1e-12
+        )
+        e = e + jnp.sum(top.angle_k * (cos - top.angle_cos0) ** 2)
+
+    if top.torsions.shape[0]:
+        pts = coords[top.torsions]
+        phi = jnp.radians(dihedral(pts))
+        e = e + jnp.sum(
+            0.5 * top.torsion_v * (1.0 + top.torsion_sign * jnp.cos(top.torsion_n * phi))
+        )
+
+    diff = coords[:, None, :] - coords[None, :, :]
+    diff = diff - box * jnp.round(diff / box)  # minimum image
+    r2 = jnp.sum(diff * diff, axis=-1)
+    active = top.nb_scale > 0
+    r2_safe = jnp.where(active, r2, 1.0) + 1e-12
+    x2 = top.lj_x * top.lj_x
+    s6 = (x2 / r2_safe) ** 3
+    e_pair = top.lj_d * (s6 * s6 - 2.0 * s6) * top.nb_scale
+    qq = top.charges[:, None] * top.charges[None, :]
+    e_pair = e_pair + 332.0637 * qq / jnp.sqrt(r2_safe) * top.nb_scale
+    e = e + 0.5 * jnp.sum(jnp.where(active, e_pair, 0.0))
+    return e
+
+
 class LiteFF(Calculator):
     """Calculator facade over ff_energy with a fixed topology."""
 

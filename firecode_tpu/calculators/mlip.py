@@ -41,11 +41,18 @@ def _rbf(r: jnp.ndarray) -> jnp.ndarray:
 
 
 def init_params(key: jax.Array, seed_scale: float = 0.1) -> dict[str, Any]:
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     return {
         "embed": seed_scale * jax.random.normal(k1, (MAX_Z + 1, EMBED_DIM)),
         "w1": seed_scale * jax.random.normal(k2, (N_RBF * EMBED_DIM, HIDDEN)),
         "b1": jnp.zeros((HIDDEN,)),
+        # one SchNet-style continuous-filter interaction layer: the filter is
+        # a linear map of the pair RBF, the message the filtered neighbor
+        # feature; gives each atom view of its environment's ENVIRONMENT
+        # (the 3-body information a pure radial descriptor cannot see)
+        "wf": seed_scale * jax.random.normal(k5, (N_RBF, HIDDEN)),
+        "wm": seed_scale * jax.random.normal(k6, (HIDDEN, HIDDEN)),
+        "bm": jnp.zeros((HIDDEN,)),
         "w2": seed_scale * jax.random.normal(k3, (HIDDEN, HIDDEN)),
         "b2": jnp.zeros((HIDDEN,)),
         "w3": seed_scale * jax.random.normal(k4, (HIDDEN, 1)),
@@ -67,9 +74,14 @@ def mlip_energy(params: dict, atomnos: jnp.ndarray, coords: jnp.ndarray) -> jnp.
     desc = jnp.einsum("ijr,je->ire", basis, z_emb).reshape(n, -1)
 
     h = jnp.tanh(desc @ params["w1"] + params["b1"])
+    # interaction layer: message m_i = sum_j filter(r_ij) * h_j
+    filt = basis @ params["wf"]  # [N, N, H]
+    msg = jnp.einsum("ijh,jh->ih", filt, h)
+    h = h + jnp.tanh(msg @ params["wm"] + params["bm"])
     h = jnp.tanh(h @ params["w2"] + params["b2"])
     e_atom = (h @ params["w3"] + params["b3"])[:, 0] + params["atom_ref"][atomnos]
-    return jnp.sum(e_atom)
+    # Z = 0 lanes are padding (bucketed variable-size batches): contribute 0
+    return jnp.sum(jnp.where(atomnos > 0, e_atom, 0.0))
 
 
 class MLIPCalculator(Calculator):
@@ -147,3 +159,203 @@ def distill(
             log(f"    MLIP distillation step {it}: loss {float(loss):.4f}")
 
     return MLIPCalculator(params, atomnos)
+
+
+# --------------------------------------------------------------------------
+# multi-system distillation + the bundled CHNO checkpoint
+# --------------------------------------------------------------------------
+
+DEFAULT_CHECKPOINT = str(
+    __import__("pathlib").Path(__file__).parent / "data" / "mlip_chno.npz"
+)
+
+
+def distill_systems(
+    teacher_factory,
+    systems: list[tuple[np.ndarray, np.ndarray]],
+    n_samples: int = 192,
+    n_steps: int = 4000,
+    jitter: float = 0.12,
+    force_weight: float = 0.05,
+    learning_rate: float = 3e-3,
+    seed: int = 0,
+    logfunction=None,
+) -> dict:
+    """Distill one shared parameter set from a teacher across SEVERAL
+    molecules (element-transferable training; VERDICT round-1 item 9).
+
+    teacher_factory(atomnos, coords) -> Calculator builds the teacher per
+    system. All systems are padded to a common atom count with Z = 0 lanes
+    (masked in mlip_energy) so the whole multi-composition training set is
+    one jitted batch. Returns the trained parameter pytree.
+    """
+    import optax
+
+    log = logfunction or (lambda s: None)
+    key = jax.random.PRNGKey(seed)
+    n_max = max(len(z) for z, _ in systems)
+
+    all_z, all_x, all_e, all_f = [], [], [], []
+    for z, coords in systems:
+        key, k_jit = jax.random.split(key)
+        z = np.asarray(z)
+        coords = np.asarray(coords, dtype=np.float32)
+        teacher = teacher_factory(z, coords)
+        samples = coords[None] + jitter * np.asarray(
+            jax.random.normal(k_jit, (n_samples, *coords.shape), jnp.float32)
+        )
+        e_ref, f_ref = teacher.energy_and_forces(jnp.asarray(samples))
+        pad = n_max - len(z)
+        z_pad = np.pad(z, (0, pad))
+        # padded atoms parked far away (outside every cutoff), zero forces
+        x_pad = np.pad(
+            samples, ((0, 0), (0, pad), (0, 0)), constant_values=500.0
+        )
+        f_pad = np.pad(np.asarray(f_ref), ((0, 0), (0, pad), (0, 0)))
+        all_z.append(np.broadcast_to(z_pad, (n_samples, n_max)))
+        all_x.append(x_pad)
+        all_e.append(np.asarray(e_ref))
+        all_f.append(f_pad)
+
+    z_np = np.concatenate(all_z)
+    e_np = np.concatenate(all_e)
+
+    # per-element baseline energies by least squares FIRST: absolute molecular
+    # energies are hundreds of kcal/mol of per-element offset that a 2e-3
+    # learning rate could never walk atom_ref across; the network then only
+    # has to learn the O(10 kcal/mol) geometric residual
+    counts = np.stack(
+        [np.bincount(z_row, minlength=MAX_Z + 1) for z_row in z_np]
+    ).astype(np.float64)
+    used = counts.sum(axis=0) > 0
+    used[0] = False
+    ref, *_ = np.linalg.lstsq(counts[:, used], e_np.astype(np.float64), rcond=None)
+    atom_ref0 = np.zeros(MAX_Z + 1)
+    atom_ref0[used] = ref
+
+    z_b = jnp.asarray(z_np, jnp.int32)
+    x_b = jnp.asarray(np.concatenate(all_x), jnp.float32)
+    e_b = jnp.asarray(e_np, jnp.float32)
+    f_b = jnp.asarray(np.concatenate(all_f), jnp.float32)
+
+    key, k_init = jax.random.split(key)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.float32), init_params(k_init)
+    )
+    params["atom_ref"] = jnp.asarray(atom_ref0, jnp.float32)
+
+    def e_and_f(p, z, x):
+        e_fn = lambda c: mlip_energy(p, z, c)
+        e, g = jax.value_and_grad(e_fn)(x)
+        return e, -g
+
+    def loss_fn(p):
+        e, f = jax.vmap(lambda z, x: e_and_f(p, z, x))(z_b, x_b)
+        mask = (z_b > 0)[..., None]
+        return jnp.mean((e - e_b) ** 2) + force_weight * jnp.mean(
+            jnp.where(mask, (f - f_b) ** 2, 0.0)
+        )
+
+    schedule = optax.cosine_decay_schedule(learning_rate, n_steps, alpha=0.02)
+    opt = optax.adam(schedule)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    for it in range(n_steps):
+        params, opt_state, loss = step(params, opt_state)
+        if it % max(n_steps // 10, 1) == 0:
+            log(f"    MLIP multi-system distillation step {it}: loss {float(loss):.4f}")
+    return params
+
+
+def _chno_training_systems() -> list[tuple[np.ndarray, np.ndarray]]:
+    """Small CHNO molecules, teacher-relaxed, for the bundled checkpoint."""
+    from firecode_tpu.calculators.reactive_ff import ReactiveFF
+    from firecode_tpu.opt.fire import optimize_batch
+    from firecode_tpu.sample_molecules import build_alkane
+
+    raw: list[tuple[np.ndarray, np.ndarray]] = [
+        (np.array([8, 1, 1]),
+         np.array([[0.0, 0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]])),
+        (np.array([7, 1, 1, 1]),
+         np.array([[0.0, 0, 0.1], [0.94, 0, -0.27], [-0.47, 0.81, -0.27], [-0.47, -0.81, -0.27]])),
+        (np.array([6, 1, 1, 1, 1]),
+         np.array([[0.0, 0, 0], [0.63, 0.63, 0.63], [-0.63, -0.63, 0.63], [0.63, -0.63, -0.63], [-0.63, 0.63, -0.63]])),
+        (np.array([6, 8, 1, 1]),  # formaldehyde
+         np.array([[0.0, 0, 0], [1.21, 0, 0], [-0.55, 0.94, 0], [-0.55, -0.94, 0]])),
+        (np.array([6, 8, 1, 1, 1, 1]),  # methanol
+         np.array([[0.0, 0, 0], [1.42, 0, 0], [1.75, 0.89, 0],
+                   [-0.38, 0.51, 0.89], [-0.38, 0.51, -0.89], [-0.38, -1.02, 0]])),
+        (np.array([6, 6, 8, 1, 1, 1, 1, 1, 1]),  # ethanol
+         np.array([[0.0, 0, 0], [1.51, 0, 0], [2.0, 1.32, 0], [2.97, 1.3, 0],
+                   [-0.4, -0.5, 0.88], [-0.4, -0.5, -0.88], [-0.37, 1.02, 0],
+                   [1.88, -0.52, 0.88], [1.88, -0.52, -0.88]])),
+        (np.array([6, 6, 1, 1, 1, 1]),  # ethylene
+         np.array([[0.0, 0, 0.67], [0, 0, -0.67], [0.92, 0, 1.24],
+                   [-0.92, 0, 1.24], [0.92, 0, -1.24], [-0.92, 0, -1.24]])),
+        (np.array([6, 7, 1, 1, 1, 1, 1]),  # methylamine
+         np.array([[0.0, 0, 0], [1.47, 0, 0], [1.84, 0.82, 0.47],
+                   [1.84, -0.82, 0.47], [-0.37, 0.5, 0.89], [-0.37, 0.5, -0.89],
+                   [-0.37, -1.02, 0]])),
+        (np.array([6, 8, 8, 1, 1]),  # formic acid
+         np.array([[0.0, 0, 0], [1.2, 0.2, 0], [-0.8, 1.05, 0],
+                   [-0.45, -1.0, 0], [-0.35, 1.9, 0]])),
+    ]
+    atomnos2, ethane = build_alkane(2)
+    raw.append((atomnos2, ethane))
+    atomnos3, propane = build_alkane(3)
+    raw.append((atomnos3, propane))
+
+    systems = []
+    for z, coords in raw:
+        calc = ReactiveFF(z)
+        res = optimize_batch(calc, coords[None].astype(np.float32), fmax=0.05, max_steps=2000)
+        systems.append((z, np.asarray(res.coords[0], dtype=np.float64)))
+    return systems
+
+
+def train_default_checkpoint(path: str | None = None, logfunction=print) -> str:
+    """Train and save the bundled CHNO checkpoint (teacher: LiteFF-R)."""
+    from pathlib import Path
+
+    from firecode_tpu.calculators.reactive_ff import ReactiveFF
+
+    params = distill_systems(
+        lambda z, c: ReactiveFF(z),
+        _chno_training_systems(),
+        logfunction=logfunction,
+    )
+    path = path or DEFAULT_CHECKPOINT
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        __import__("pathlib").Path(path).with_suffix(""),
+        **{k: np.asarray(v) for k, v in params.items()},
+    )
+    return path
+
+
+def load_mlip(atomnos: np.ndarray, path: str | None = None) -> MLIPCalculator:
+    """Load an MLIP checkpoint (bundled CHNO one by default) for a system."""
+    import os
+    from pathlib import Path
+
+    from firecode_tpu.errors import MissingExternalError
+
+    path = path or os.environ.get("FIRECODE_TPU_MLIP_PATH", DEFAULT_CHECKPOINT)
+    if not Path(path).exists():
+        raise MissingExternalError(
+            f"MLIP checkpoint not found at {path}. Train one with "
+            "`python -m firecode_tpu.calculators.mlip` or point "
+            "FIRECODE_TPU_MLIP_PATH at a checkpoint."
+        )
+    return MLIPCalculator.load(path, atomnos)
+
+
+if __name__ == "__main__":
+    out = train_default_checkpoint()
+    print(f"checkpoint written to {out}")

@@ -67,6 +67,7 @@ def operate(filename: str, operator: str, embedder) -> str | None:
         "racerts": rdkit_search_operator,
         "racerts_search": rdkit_search_operator,
         "packmol": packmol_operator,
+        "solvate": packmol_operator,
         "equilibrate": equilibrate_operator,
     }
     func = _CUSTOM_OPERATORS.get(op_name) or table.get(op_name)

@@ -74,6 +74,11 @@ def solvate_molecule(filename: str, embedder, shells: float = 2.0) -> str:
         )
     mol = next(m for m in embedder.objects if m.filename == filename)
     edge, n_solvent = compute_box(mol.coords[0], canonical, shells)
+    # record the solute atom count so equilibrate> can freeze the solute and
+    # trigger the NPT stage after the operator chain replaces the molecule
+    if not hasattr(embedder, "solute_atom_counts"):
+        embedder.solute_atom_counts = {}
+    embedder.solute_atom_counts[f"{Path(filename).stem}_solvated.xyz"] = mol.n_atoms
     embedder.log(
         f"    Solvating {mol.basename} with {n_solvent} {canonical} molecules "
         f"(box edge {edge:.1f} A)"

@@ -62,3 +62,60 @@ def test_native_packing(tmp_path, rng):
         assert d.min() > 0.5
     finally:
         os.chdir(old)
+
+
+# ------------------------------------------------------------ PBC + NPT
+
+def _water_box(n_side=2, spacing=3.1):
+    """Grid of water molecules in a cubic box."""
+    w = np.array([[0.0, 0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]])
+    frames, z = [], []
+    for i in range(n_side):
+        for j in range(n_side):
+            for k in range(n_side):
+                frames.append(w + spacing * np.array([i, j, k]) + 1.0)
+                z.extend([8, 1, 1])
+    return np.array(z), np.concatenate(frames), n_side * spacing
+
+
+def test_ff_energy_pbc_minimum_image():
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.forcefield import LiteFF, ff_energy_pbc
+
+    z, coords, box = _water_box()
+    top = LiteFF(z, coords).topology
+    e0 = float(ff_energy_pbc(jnp.asarray(coords), top, box))
+    # translating ONE whole molecule by a lattice vector leaves the PBC
+    # energy unchanged (its image interactions are identical)
+    moved = coords.copy()
+    moved[:3] += np.array([box, 0.0, 0.0])
+    e1 = float(ff_energy_pbc(jnp.asarray(moved), top, box))
+    assert abs(e0 - e1) < 1e-3
+    # while the open-boundary energy DOES change
+    from firecode_tpu.calculators.forcefield import ff_energy
+
+    open0 = float(ff_energy(jnp.asarray(coords), top))
+    open1 = float(ff_energy(jnp.asarray(moved), top))
+    assert abs(open0 - open1) > 1e-3
+
+
+def test_npt_berendsen_shrinks_dilute_box():
+    from firecode_tpu.calculators.forcefield import LiteFF
+    from firecode_tpu.md.equilibration import run_npt_equilibration
+
+    z, coords, box = _water_box(n_side=2, spacing=4.5)  # dilute box
+    box = box + 4.0
+    top = LiteFF(z, coords).topology
+    out, box_out, p_hist = run_npt_equilibration(
+        top, z, coords, box, T=150.0, P_atm=1.0, n_steps=300
+    )
+    assert np.all(np.isfinite(out))
+    assert np.all(np.isfinite(p_hist))
+    # a dilute LJ/coulomb box is under tension / low pressure: Berendsen
+    # shrinks the cell toward the 1 atm target
+    assert box_out < box
+    # O-H bonds stay intact through the barostat scaling
+    for m in range(8):
+        o, h1 = out[3 * m], out[3 * m + 1]
+        assert np.linalg.norm(o - h1) < 1.4
