@@ -88,10 +88,141 @@ def smarts_match(
     return [tuple(m) for m in mol.GetSubstructMatches(patt)]
 
 
+# --------------------------------------------------------------------------
+# symmetry-equivalent atom disambiguation (firecode/rdkit_tools.py:127-402).
+# The environment fingerprint runs on the NATIVE molecular graph (graphize +
+# BFS layers), so symmetry detection needs no rdkit at all — only the SMARTS
+# substructure matching itself does.
+# --------------------------------------------------------------------------
+
+
+def atom_environment_fingerprint(graph, atomnos: np.ndarray, idx: int, depth: int = 4) -> tuple:
+    """Canonical fingerprint of an atom's chemical environment: its (Z,
+    degree) plus sorted (Z, degree) multisets of each BFS shell out to
+    `depth` bonds. Two atoms with equal fingerprints are symmetry-equivalent
+    for constraint purposes."""
+    atomnos = np.asarray(atomnos)
+    fp: list = [(int(atomnos[idx]), graph.degree[idx])]
+    visited = {idx}
+    layer = {idx}
+    for _ in range(depth):
+        nxt = set()
+        for a in layer:
+            for b in graph.neighbors(a):
+                if b not in visited:
+                    nxt.add(b)
+                    visited.add(b)
+        if not nxt:
+            break
+        fp.append(tuple(sorted((int(atomnos[b]), graph.degree[b]) for b in nxt)))
+        layer = nxt
+    return tuple(fp)
+
+
+def find_symmetric_positions(
+    atomnos: np.ndarray, coords: np.ndarray, match, graph=None, depth: int = 4
+) -> list[list[int]]:
+    """Groups of positions WITHIN `match` whose atoms are symmetry-equivalent
+    (same element + same graph environment) — e.g. the two oxygens of a
+    carboxylate, the three hydrogens of a methyl group."""
+    from firecode_tpu.graphs import graphize
+
+    atomnos = np.asarray(atomnos)
+    if graph is None:
+        graph = graphize(atomnos, np.asarray(coords))
+    groups: dict = {}
+    for pos, atom_idx in enumerate(match):
+        key = atom_environment_fingerprint(graph, atomnos, int(atom_idx), depth)
+        groups.setdefault(key, []).append(pos)
+    return [g for g in groups.values() if len(g) > 1]
+
+
+def expand_symmetric_matches(
+    match: tuple, symmetric_groups: list[list[int]]
+) -> list[tuple]:
+    """All index tuples reachable by permuting symmetry-equivalent positions."""
+    from itertools import permutations
+
+    versions = {tuple(match)}
+    for group in symmetric_groups:
+        new = set()
+        for m in versions:
+            vals = [m[i] for i in group]
+            for perm in permutations(vals):
+                out = list(m)
+                for i, v in zip(group, perm):
+                    out[i] = v
+                new.add(tuple(out))
+        versions |= new
+    return sorted(versions)
+
+
+def match_smarts_with_symmetry(
+    atomnos: np.ndarray,
+    coords: np.ndarray,
+    smarts: str,
+    symmetric_atoms: list[list[int]] | None = None,
+    auto_symmetry: bool = True,
+    single_match_expected: bool = False,
+) -> list[list[tuple[int, ...]]]:
+    """SMARTS matching with symmetric-permutation expansion.
+
+    Multi-fragment patterns ('frag1.frag2') match independently and combine
+    over disjoint atom sets. For each base match, every permutation of
+    symmetry-equivalent atoms (auto-detected via the native environment
+    fingerprint, plus any manually declared groups) is returned, so a
+    constraint defined on one arbitrary match ordering applies to all
+    chemically identical variants (firecode/rdkit_tools.py:236-402)."""
+    from itertools import product
+
+    fragments = [p.strip() for p in smarts.split(".")]
+    per_fragment = []
+    for pattern in fragments:
+        matches = smarts_match(atomnos, coords, pattern)
+        if not matches:
+            raise ValueError(f"No matches for SMARTS fragment {pattern!r}")
+        per_fragment.append(matches)
+
+    base_matches = []
+    for combo in product(*per_fragment):
+        flat = sum(combo, ())
+        if len(set(flat)) == len(flat):  # no atom used twice across fragments
+            base_matches.append(flat)
+    if not base_matches:
+        raise ValueError(f"No disjoint matches for SMARTS {smarts!r}")
+    if single_match_expected and len(base_matches) != 1:
+        raise ValueError(
+            f"Expected a single SMARTS match, found {len(base_matches)}"
+        )
+
+    results = []
+    for match in base_matches:
+        groups = list(symmetric_atoms or [])
+        if auto_symmetry:
+            for g in find_symmetric_positions(atomnos, coords, match):
+                if g not in groups:
+                    groups.append(g)
+        results.append(expand_symmetric_matches(match, groups))
+    return results
+
+
 def translate_constraints_by_smarts(
-    atomnos: np.ndarray, coords: np.ndarray, smarts: str, local_indices
+    atomnos: np.ndarray,
+    coords: np.ndarray,
+    smarts: str,
+    local_indices,
+    symmetric: bool = True,
 ) -> list[tuple[int, ...]]:
     """Map constraint indices defined on a SMARTS pattern onto the molecule
-    (firecode/rdkit_tools.py:403-449)."""
-    matches = smarts_match(atomnos, coords, smarts)
-    return [tuple(m[i] for i in local_indices) for m in matches]
+    (firecode/rdkit_tools.py:403-449). With symmetric=True, constraints are
+    emitted for every symmetry-equivalent variant of each match."""
+    if not symmetric:
+        matches = smarts_match(atomnos, coords, smarts)
+        return [tuple(m[i] for i in local_indices) for m in matches]
+    out = []
+    for variants in match_smarts_with_symmetry(atomnos, coords, smarts):
+        for m in variants:
+            tup = tuple(m[i] for i in local_indices)
+            if tup not in out:
+                out.append(tup)
+    return out

@@ -121,3 +121,60 @@ def test_atropisomer_scan_machinery(rng):
     assert len(angles) == 13
     rel = energies - energies.min()
     assert rel.max() > 0.5  # a real torsional barrier shows up
+
+
+# ---------------------------------------------------- symmetry fingerprints
+# (firecode/rdkit_tools.py:127-402 capability, implemented on the native
+# molecular graph — no rdkit needed for the symmetry half)
+
+
+def _methanol():
+    z = np.array([6, 8, 1, 1, 1, 1])
+    c = np.array(
+        [[0.0, 0, 0], [1.42, 0, 0], [1.75, 0.89, 0],
+         [-0.38, 0.51, 0.89], [-0.38, 0.51, -0.89], [-0.38, -1.02, 0]]
+    )
+    return z, c
+
+
+def test_symmetric_positions_methyl_hydrogens():
+    from firecode_tpu.rdkit_tools import find_symmetric_positions
+
+    z, c = _methanol()
+    # match covering all atoms: the 3 methyl H's (pos 3,4,5) are equivalent;
+    # the hydroxyl H (pos 2) is NOT
+    groups = find_symmetric_positions(z, c, tuple(range(6)))
+    assert [3, 4, 5] in groups
+    assert all(2 not in g for g in groups)
+
+
+def test_symmetric_positions_water():
+    from firecode_tpu.rdkit_tools import find_symmetric_positions
+
+    z = np.array([8, 1, 1])
+    c = np.array([[0.0, 0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]])
+    groups = find_symmetric_positions(z, c, (0, 1, 2))
+    assert groups == [[1, 2]]
+
+
+def test_expand_symmetric_matches():
+    from firecode_tpu.rdkit_tools import expand_symmetric_matches
+
+    out = expand_symmetric_matches((10, 20, 30), [[1, 2]])
+    assert set(out) == {(10, 20, 30), (10, 30, 20)}
+    out2 = expand_symmetric_matches((1, 2, 3), [[0, 1, 2]])
+    assert len(out2) == 6  # all 3! permutations
+
+
+def test_environment_fingerprint_distinguishes_oxygens():
+    from firecode_tpu.graphs import graphize
+    from firecode_tpu.rdkit_tools import atom_environment_fingerprint
+
+    # formic acid: carbonyl O (degree 1) vs hydroxyl O (degree 2)
+    z = np.array([6, 8, 8, 1, 1])
+    c = np.array([[0.0, 0, 0], [1.2, 0.2, 0], [-0.8, 1.05, 0],
+                  [-0.45, -1.0, 0], [-0.35, 1.9, 0]])
+    g = graphize(z, c)
+    fp_carbonyl = atom_environment_fingerprint(g, z, 1)
+    fp_hydroxyl = atom_environment_fingerprint(g, z, 2)
+    assert fp_carbonyl != fp_hydroxyl
