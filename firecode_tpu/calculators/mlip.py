@@ -260,16 +260,27 @@ def distill_systems(
     opt = optax.adam(schedule)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(p, s):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, s = opt.update(grads, s)
-        return optax.apply_updates(p, updates), s, loss
+    # chunk the optimization inside one jitted fori_loop per log interval:
+    # a per-step host round trip dominates wall-clock on tunneled backends
+    chunk = max(n_steps // 10, 1)
 
-    for it in range(n_steps):
-        params, opt_state, loss = step(params, opt_state)
-        if it % max(n_steps // 10, 1) == 0:
-            log(f"    MLIP multi-system distillation step {it}: loss {float(loss):.4f}")
+    @jax.jit
+    def run_chunk(p, s):
+        def body(_, carry):
+            p, s, _ = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(grads, s)
+            return optax.apply_updates(p, updates), s, loss
+
+        return jax.lax.fori_loop(
+            0, chunk, body, (p, s, jnp.asarray(0.0, jnp.float32))
+        )
+
+    done = 0
+    while done < n_steps:
+        params, opt_state, loss = run_chunk(params, opt_state)
+        done += chunk
+        log(f"    MLIP multi-system distillation step {done}: loss {float(loss):.4f}")
     return params
 
 

@@ -1258,6 +1258,14 @@ class RunEmbedding:
             if n_since_save >= self.options.checkpoint_frequency and not done.all():
                 save_state(self, stage_tag, done=done)
                 n_since_save = 0
+            if len(groups) > 1:
+                from firecode_tpu.profiling import eta_report
+
+                self.log(
+                    "    " + eta_report(
+                        int(done.sum()), b, time.perf_counter() - t_start
+                    )
+                )
 
         elapsed = time.perf_counter() - t_start
         self.log(
@@ -1337,6 +1345,27 @@ class RunEmbedding:
             setattr(self, attr, getattr(self, attr)[order])
         self.write_structures("vib_ensemble", energies=True)
 
+    def dump_status(self, tag: str) -> None:
+        """DEBUG artifact: full run-state dump (reference embedder.py:
+        1887-1954, minus the pickle — the .npz snapshot is resumable instead).
+        Writes structures + energies + constraints + an options summary."""
+        from firecode_tpu.driver.checkpoint import save_state
+
+        prefix = f"firecode_debug_{self.stamp}_{tag}"
+        if hasattr(self, "structures") and len(getattr(self, "structures", [])):
+            with open(f"{prefix}.xyz", "w") as f:
+                for i, s in enumerate(self.structures):
+                    title = f"Debug dump {tag} - structure {i + 1}"
+                    if hasattr(self, "energies") and len(self.energies) == len(
+                        self.structures
+                    ):
+                        title += f" - E = {self.energies[i]:.5f} kcal/mol"
+                    write_xyz(f, self.atoms, s, title=title)
+            save_state(self, f"debug_{tag}", path=f"{prefix}.npz")
+        with open(f"{prefix}_options.txt", "w") as f:
+            f.write(self.options.summary() + "\n")
+        self.log(f"    DEBUG: dumped run state to {prefix}.*")
+
     # ----------------------------------------------------------- run
 
     def run(self) -> None:
@@ -1393,6 +1422,8 @@ class RunEmbedding:
                             rmsd=(self.embed == "refine"), verbose=True
                         )
                     save_state(self, "pre_optimization")
+                    if self.options.debug:
+                        self.dump_status("pre_optimization")
                 if self.options.optimization:
                     if skip <= 1 and (
                         len(self.structures) > 500
@@ -1416,6 +1447,8 @@ class RunEmbedding:
                                 else None,
                             )
                         save_state(self, "post_optimization")
+                        if self.options.debug:
+                            self.dump_status("post_optimization")
                 elif skip == 0:
                     self.write_structures("unoptimized", energies=False)
             except ZeroCandidatesError:

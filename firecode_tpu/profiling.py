@@ -60,3 +60,29 @@ class Profiler:
 
 
 profiler = Profiler()
+
+
+def loadbar(iteration: int, total: int, prefix: str = "", width: int = 30) -> None:
+    """Terminal progress bar (reference firecode/utils.py:202): overwrites the
+    current line; prints a newline when complete. No-op for total <= 0."""
+    import sys
+
+    if total <= 0:
+        return
+    frac = min(max(iteration / total, 0.0), 1.0)
+    filled = int(width * frac)
+    bar = "#" * filled + "-" * (width - filled)
+    end = "\n" if iteration >= total else "\r"
+    sys.stdout.write(f"\r{prefix} |{bar}| {100.0 * frac:5.1f}%{end}")
+    sys.stdout.flush()
+
+
+def eta_report(done: int, total: int, elapsed_s: float) -> str:
+    """Progress line with average time per item and ETA (reference
+    firecode/embedder.py:2233-2252 checkpoint reports)."""
+    avg = elapsed_s / max(done, 1)
+    eta = avg * (total - done)
+    return (
+        f"{done}/{total} structures done ({avg:.3f} s/structure avg, "
+        f"ETA {eta:.0f} s)"
+    )

@@ -129,3 +129,33 @@ def test_pairing_letters_and_dist(rundir):
     _, coords, _ = read_xyz(rundir / "firecode_final_ensemble_test.xyz")
     d = np.linalg.norm(coords[0][0] - coords[0][6])
     assert 1.5 < d < 4.5
+
+
+@pytest.mark.embed
+def test_debug_dump_status(rundir, rng):
+    """DEBUG keyword writes full run-state dumps at stage boundaries
+    (reference embedder.py:1887-1954 dump_status)."""
+    atomnos, coords = build_alkane(4)
+    confs = np.stack([coords + rng.normal(scale=0.05, size=coords.shape) for _ in range(4)])
+    run_input(
+        rundir,
+        "REFINE KCAL=20 DEBUG\nbutane.xyz\n",
+        {"butane.xyz": (atomnos, confs)},
+    )
+    import glob
+
+    dumps = glob.glob(str(rundir / "firecode_debug_test_*"))
+    assert any(d.endswith(".xyz") for d in dumps)
+    assert any(d.endswith(".npz") for d in dumps)
+    assert any(d.endswith("_options.txt") for d in dumps)
+
+
+def test_loadbar_and_eta(capsys):
+    from firecode_tpu.profiling import eta_report, loadbar
+
+    loadbar(5, 10, prefix="opt")
+    loadbar(10, 10, prefix="opt")
+    out = capsys.readouterr().out
+    assert "50.0%" in out and "100.0%" in out
+    line = eta_report(25, 100, elapsed_s=50.0)
+    assert "25/100" in line and "2.000 s/structure" in line and "ETA 150 s" in line
