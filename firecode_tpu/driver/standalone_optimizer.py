@@ -21,20 +21,51 @@ def charge_from_filename(name: str) -> int:
     return name.count("+") - name.count("-")
 
 
+def multiplicity_check(atomnos: np.ndarray, charge: int, multiplicity: int = 1) -> bool:
+    """True when multiplicity and electron count have opposite parity (a
+    physically consistent pair) — reference standalone_optimizer.py:765."""
+    electrons = int(np.sum(atomnos)) - charge
+    return (multiplicity % 2) != (electrons % 2)
+
+
 def parse_constraint_file(path: str | Path):
-    """Lines: 'B i j [value|auto]' / 'A i j k [value]' / 'D i j k l [value]'."""
+    """Constraint file: 'B i j [value|auto]' / 'A i j k [value]' /
+    'D i j k l [value]' lines, optionally preceded by a 'SMARTS <pattern>'
+    header — indices then refer to atoms WITHIN the pattern and are
+    translated onto each molecule by substructure matching (reference
+    standalone_optimizer.py:146-176). Returns (specs, smarts_or_None)."""
     specs = []
-    for line in Path(path).read_text().splitlines():
-        line = line.split("#")[0].strip()
-        if not line:
-            continue
+    smarts = None
+    lines = [
+        stripped
+        for raw in Path(path).read_text().splitlines()
+        if (stripped := raw.split("#")[0].strip())
+    ]
+    if lines and lines[0].upper().startswith("SMARTS"):
+        smarts = lines.pop(0)[len("SMARTS"):].strip()
+    for line in lines:
         parts = line.split()
         kind = parts[0].upper()
         n_idx = {"B": 2, "A": 3, "D": 4}[kind]
         indices = tuple(int(x) for x in parts[1 : 1 + n_idx])
         value = parts[1 + n_idx] if len(parts) > 1 + n_idx else "auto"
         specs.append((kind, indices, value))
-    return specs
+    return specs, smarts
+
+
+def translate_specs(specs, smarts, atomnos, coords):
+    """Translate SMARTS-relative constraint indices onto this molecule."""
+    if smarts is None:
+        return specs
+    from firecode_tpu.rdkit_tools import match_smarts_with_symmetry
+
+    match = match_smarts_with_symmetry(
+        atomnos, coords, smarts, single_match_expected=True
+    )[0][0]
+    return [
+        (kind, tuple(int(match[i]) for i in indices), value)
+        for kind, indices, value in specs
+    ]
 
 
 def build_constraints(specs, coords):
@@ -120,6 +151,7 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--freq", action="store_true", help="frequencies + qRRHO")
     parser.add_argument("--fmax", type=float, default=0.05)
     parser.add_argument("--charge", type=int, default=None)
+    parser.add_argument("--mult", type=int, default=1, help="spin multiplicity")
     parser.add_argument("--calc", default=None, help="calculator override")
     parser.add_argument("--solvent", default=None)
     parser.add_argument("--constraints", default=None, help="constraint file")
@@ -155,10 +187,19 @@ def main(argv: list[str] | None = None) -> None:
         t0 = time.perf_counter()
         ens = Ensemble.from_xyz(filename)
         charge = args.charge if args.charge is not None else charge_from_filename(filename)
+        if not multiplicity_check(ens.atomnos, charge, args.mult):
+            print(
+                f"WARNING: {filename}: charge {charge} / multiplicity "
+                f"{args.mult} is inconsistent with the electron count"
+            )
         calc = dispatcher.get_batch_calc(
             ens.atomnos, ens.coords[0], charge=charge, solvent=args.solvent
         )
-        specs = parse_constraint_file(args.constraints) if args.constraints else []
+        if args.constraints:
+            specs, smarts = parse_constraint_file(args.constraints)
+            specs = translate_specs(specs, smarts, ens.atomnos, ens.coords[0])
+        else:
+            specs = []
         cons = build_constraints(specs, ens.coords[0]) if specs else None
         stem = Path(filename).stem
 

@@ -87,3 +87,30 @@ def test_multi_letter_pairing_fragment(rundir):
     # '0ab' assigns atom 0 to both letters a and b
     assert emb.pairings_table["a"] == (0, 6)
     assert emb.pairings_table["b"] == (0, 7)
+
+
+def test_standalone_constraint_file_with_smarts_header(tmp_path):
+    from firecode_tpu.driver.standalone_optimizer import parse_constraint_file
+
+    p = tmp_path / "c.txt"
+    p.write_text("SMARTS [OX2H]\nB 0 1 1.5\nA 0 1 2  # comment\n")
+    specs, smarts = parse_constraint_file(p)
+    assert smarts == "[OX2H]"
+    assert specs == [("B", (0, 1), "1.5"), ("A", (0, 1, 2), "auto")]
+
+    p2 = tmp_path / "plain.txt"
+    p2.write_text("D 0 1 2 3 90.0\n")
+    specs2, smarts2 = parse_constraint_file(p2)
+    assert smarts2 is None
+    assert specs2 == [("D", (0, 1, 2, 3), "90.0")]
+
+
+def test_multiplicity_check():
+    import numpy as np
+
+    from firecode_tpu.driver.standalone_optimizer import multiplicity_check
+
+    water = np.array([8, 1, 1])  # 10 electrons -> singlet ok, doublet not
+    assert multiplicity_check(water, 0, 1)
+    assert not multiplicity_check(water, 0, 2)
+    assert multiplicity_check(water, -1, 2)  # 11 electrons -> doublet
