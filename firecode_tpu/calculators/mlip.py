@@ -249,26 +249,34 @@ def distill_systems(
         e, g = jax.value_and_grad(e_fn)(x)
         return e, -g
 
-    def loss_fn(p):
-        e, f = jax.vmap(lambda z, x: e_and_f(p, z, x))(z_b, x_b)
-        mask = (z_b > 0)[..., None]
-        return jnp.mean((e - e_b) ** 2) + force_weight * jnp.mean(
-            jnp.where(mask, (f - f_b) ** 2, 0.0)
+    n_data = z_b.shape[0]
+    minibatch = min(256, n_data)
+
+    def loss_fn(p, idx):
+        z, x = z_b[idx], x_b[idx]
+        e, f = jax.vmap(lambda zz, xx: e_and_f(p, zz, xx))(z, x)
+        mask = (z > 0)[..., None]
+        return jnp.mean((e - e_b[idx]) ** 2) + force_weight * jnp.mean(
+            jnp.where(mask, (f - f_b[idx]) ** 2, 0.0)
         )
 
     schedule = optax.cosine_decay_schedule(learning_rate, n_steps, alpha=0.02)
     opt = optax.adam(schedule)
     opt_state = opt.init(params)
 
-    # chunk the optimization inside one jitted fori_loop per log interval:
-    # a per-step host round trip dominates wall-clock on tunneled backends
+    # minibatched SGD inside a jitted fori_loop per log interval: full-batch
+    # steps are needlessly expensive and a per-step host round trip dominates
+    # wall-clock on tunneled backends
     chunk = max(n_steps // 10, 1)
 
     @jax.jit
-    def run_chunk(p, s):
-        def body(_, carry):
+    def run_chunk(p, s, key):
+        def body(k, carry):
             p, s, _ = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p)
+            idx = jax.random.randint(
+                jax.random.fold_in(key, k), (minibatch,), 0, n_data
+            )
+            loss, grads = jax.value_and_grad(loss_fn)(p, idx)
             updates, s = opt.update(grads, s)
             return optax.apply_updates(p, updates), s, loss
 
@@ -278,7 +286,8 @@ def distill_systems(
 
     done = 0
     while done < n_steps:
-        params, opt_state, loss = run_chunk(params, opt_state)
+        key, k_chunk = jax.random.split(key)
+        params, opt_state, loss = run_chunk(params, opt_state, k_chunk)
         done += chunk
         log(f"    MLIP multi-system distillation step {done}: loss {float(loss):.4f}")
     return params

@@ -54,6 +54,66 @@ def deprotonate(atomnos, coords, index: int):
     return atomnos[mask], coords[mask]
 
 
+def get_anions(atomnos, conformers, index: int):
+    """All deprotonation candidates: every H on (or at) the reactive index,
+    removed from EVERY input conformer (reference firecode/pka.py:41-91
+    _get_anions). Returns (anion_atomnos, coords [n_H * n_confs, N-1, 3])."""
+    conformers = np.asarray(conformers).reshape(-1, len(atomnos), 3)
+    graph = graphize(atomnos, conformers[0])
+    if atomnos[index] == 1:
+        h_ids = [index]
+    else:
+        h_ids = [n for n in graph.neighbors(index) if atomnos[n] == 1]
+    if not h_ids:
+        raise InputError(f"No H to remove at/near index {index}")
+    frames = []
+    z_out = None
+    for h in h_ids:
+        mask = np.ones(len(atomnos), dtype=bool)
+        mask[h] = False
+        z_out = atomnos[mask]
+        frames.append(conformers[:, mask])
+    return z_out, np.concatenate(frames)
+
+
+def get_cations(atomnos, conformers, index: int, d_xh: float = 1.04):
+    """All protonation candidates: the mean-neighbor-vector placement applied
+    to every conformer, plus tetrahedral alternatives when the site has
+    exactly two neighbors (both lone-pair lobes of an sp3 O/N) — reference
+    firecode/pka.py:92-158 _get_cations."""
+    conformers = np.asarray(conformers).reshape(-1, len(atomnos), 3)
+    frames = []
+    for coords in conformers:
+        graph = graphize(atomnos, coords)
+        nbrs = list(graph.neighbors(index))
+        directions = []
+        if nbrs:
+            vecs = coords[nbrs] - coords[index]
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            mean = -np.mean(vecs, axis=0)
+            norm = np.linalg.norm(mean)
+            if norm > 1e-6:
+                directions.append(mean / norm)
+            if len(nbrs) == 2:
+                # sp3-like site: both out-of-plane lone-pair lobes
+                normal = np.cross(vecs[0], vecs[1])
+                n_norm = np.linalg.norm(normal)
+                if n_norm > 1e-6 and norm > 1e-6:
+                    normal /= n_norm
+                    base = mean / norm
+                    for sign in (1.0, -1.0):
+                        lobe = base + sign * normal
+                        lobe /= np.linalg.norm(lobe)
+                        directions.append(lobe)
+        if not directions:
+            directions = [np.array([0.0, 0.0, 1.0])]
+        for d in directions:
+            new_h = coords[index] + d_xh * d
+            frames.append(np.concatenate([coords, new_h[None]]))
+    z_out = np.concatenate([atomnos, [1]]).astype(atomnos.dtype)
+    return z_out, np.stack(frames)
+
+
 def protonate(atomnos, coords, index: int, d_nh: float = 1.04):
     """Add an H along the negated mean-neighbor vector
     (firecode/pka.py:143-156)."""
@@ -92,13 +152,15 @@ def pka_routine(filename: str, embedder) -> None:
     g_neutral = _best_free_energy(embedder, mol.atomnos, mol.coords, mol.charge)
 
     if is_acid:
-        z2, c2 = deprotonate(mol.atomnos, mol.coords[0], index)
-        g_other = _best_free_energy(embedder, z2, c2[None], mol.charge - 1)
+        # all removable H's on the site x all conformers, one batched refine
+        z2, c2 = get_anions(mol.atomnos, mol.coords, index)
+        g_other = _best_free_energy(embedder, z2, c2, mol.charge - 1)
         dg = g_other - g_neutral
         mol.pka_data = ("HA -> A-", float(dg))
     else:
-        z2, c2 = protonate(mol.atomnos, mol.coords[0], index)
-        g_other = _best_free_energy(embedder, z2, c2[None], mol.charge + 1)
+        # mean-vector + lone-pair-lobe placements x all conformers
+        z2, c2 = get_cations(mol.atomnos, mol.coords, index)
+        g_other = _best_free_energy(embedder, z2, c2, mol.charge + 1)
         dg = g_neutral - g_other
         mol.pka_data = ("B -> BH+", float(dg))
 

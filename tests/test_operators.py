@@ -139,3 +139,29 @@ def test_scan_then_saddle_chain(rundir):
     assert (rundir / "but_scan_peak.xyz").exists()
     # saddle ran on the scan peak output (composition: saddle(scan(x)))
     assert (rundir / "but_scan_peak_saddle.xyz").exists()
+
+
+def test_pka_candidate_generation():
+    """get_anions removes every equivalent H x every conformer; get_cations
+    places protons on the mean vector + lone-pair lobes (reference
+    firecode/pka.py:41-158)."""
+    import numpy as np
+
+    from firecode_tpu.driver.pka import get_anions, get_cations
+
+    # water, 2 conformers: anions = 2 H x 2 confs = 4 frames of 2 atoms
+    z = np.array([8, 1, 1])
+    w = np.array([[0.0, 0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]])
+    confs = np.stack([w, w + 0.01])
+    z_a, anions = get_anions(z, confs, 0)
+    assert list(z_a) == [8, 1]
+    assert anions.shape == (4, 2, 3)
+
+    # protonating the O of water (2 neighbors): mean vector + 2 lobes = 3
+    # placements per conformer
+    z_c, cations = get_cations(z, confs, 0)
+    assert list(z_c) == [8, 1, 1, 1]
+    assert cations.shape == (6, 4, 3)
+    # every added H sits ~1.04 A from the O
+    for frame in cations:
+        assert abs(np.linalg.norm(frame[3] - frame[0]) - 1.04) < 1e-6
