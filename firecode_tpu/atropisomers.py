@@ -50,6 +50,43 @@ def ase_dih_scan(
     return np.array(angles), np.array(energies), np.stack(frames)
 
 
+def fine_rescan(
+    calc,
+    frame: np.ndarray,
+    quadruplet,
+    half_width: float = 10.0,
+    step: float = 1.0,
+    fmax: float = 0.1,
+    k_dihedral: float = 150.0,
+):
+    """1-degree relaxed re-scan around a coarse peak (reference
+    atropisomer_module.py: coarse 10-degree scan then refined re-scan).
+
+    All fine scan points start from the SAME peak frame and relax under
+    their own dihedral restraint — one batched device call, not a sweep.
+    Returns (best_frame, best_angle, energies)."""
+    from firecode_tpu.opt import optimize_batch
+    from firecode_tpu.opt.constraints import Constraints
+    from firecode_tpu.prune.oracle import np_dihedral
+
+    quad = tuple(int(x) for x in quadruplet)
+    x = np.asarray(frame, dtype=np.float64)
+    phi_peak = np_dihedral(x[list(quad)])
+    offsets = np.arange(-half_width, half_width + step / 2, step)
+    energies = np.empty(len(offsets))
+    frames = np.empty((len(offsets), *x.shape))
+    # independent restrained relaxations, all started from the peak frame
+    # (per-lane constraint targets are not batched, so this is a short loop
+    # of small device calls rather than one batch)
+    for i, off in enumerate(offsets):
+        cons = Constraints().add_dihedral(quad, phi_peak + off, k=k_dihedral)
+        res = optimize_batch(calc, x, constraints=cons, fmax=fmax, max_steps=400)
+        frames[i] = np.asarray(res.coords, dtype=np.float64)
+        energies[i] = float(res.energy)
+    best = int(np.argmax(energies))
+    return frames[best], float(phi_peak + offsets[best]), energies
+
+
 def _find_peaks(energies: np.ndarray, min_height: float = 0.1) -> list[int]:
     rel = energies - energies.min()
     n = len(rel)
@@ -67,6 +104,7 @@ def ase_torsion_TSs(
     quadruplet,
     n_points: int = 36,
     refine_saddle: bool = True,
+    fine_scan: bool = True,
     title: str = "atropisomer",
     logfunction=None,
     plot: bool = True,
@@ -95,6 +133,16 @@ def ase_torsion_TSs(
                     "converged": False,
                 }
             )
+
+    if fine_scan and results:
+        # 1-degree refined re-scan around each coarse (10-degree) peak before
+        # the saddle optimization (reference atropisomer_module.py:277-302)
+        for entry in results:
+            frame, angle, fine_e = fine_rescan(
+                calc, entry["coords"], quadruplet, half_width=3.0, step=1.0
+            )
+            entry["coords"] = frame
+            entry["angle"] = angle
 
     if refine_saddle and results:
         # all peaks from both scan directions refine as ONE batched device

@@ -74,8 +74,10 @@ class Dispatcher:
             return XTBHostCalculator(atomnos, charge=charge, solvent=solvent)
         raise MissingExternalError(
             f"Calculator {self.calculator} requires an external engine that is "
-            "not available in this environment. LITEFF (native) and XTB "
-            "(external binary) are supported."
+            "not available in this environment. Native options: LITEFF "
+            "(classical FF), LITEFF-R (reactive), MLIP (neural potential, "
+            "bundled CHNO checkpoint or FIRECODE_TPU_MLIP_PATH); external: "
+            "XTB when the binary is installed."
         )
 
 

@@ -178,3 +178,23 @@ def test_environment_fingerprint_distinguishes_oxygens():
     fp_carbonyl = atom_environment_fingerprint(g, z, 1)
     fp_hydroxyl = atom_environment_fingerprint(g, z, 2)
     assert fp_carbonyl != fp_hydroxyl
+
+
+def test_fine_rescan_refines_peak(rng):
+    from firecode_tpu.atropisomers import ase_dih_scan, fine_rescan, _find_peaks
+    from firecode_tpu.calculators import LiteFF
+    from firecode_tpu.sample_molecules import build_alkane
+
+    atomnos, coords = build_alkane(4)
+    calc = LiteFF(atomnos, coords)
+    angles, energies, frames = ase_dih_scan(calc, coords, (0, 1, 2, 3), n_points=12)
+    peaks = _find_peaks(energies - energies.min())
+    assert peaks
+    frame, angle, fine_e = fine_rescan(
+        calc, frames[peaks[0]], (0, 1, 2, 3), half_width=2.0, step=1.0
+    )
+    assert fine_e.shape == (5,)
+    # the refined maximum is at least as high as every fine-scan sample
+    assert fine_e.max() == fine_e[np.argmax(fine_e)]
+    delta = (angle - angles[peaks[0]]) % 360.0
+    assert min(delta, 360.0 - delta) <= 2.0 + 1e-6
