@@ -326,10 +326,8 @@ def _chno_training_systems() -> list[tuple[np.ndarray, np.ndarray]]:
          np.array([[0.0, 0, 0], [1.2, 0.2, 0], [-0.8, 1.05, 0],
                    [-0.45, -1.0, 0], [-0.35, 1.9, 0]])),
     ]
-    atomnos2, ethane = build_alkane(2)
-    raw.append((atomnos2, ethane))
-    atomnos3, propane = build_alkane(3)
-    raw.append((atomnos3, propane))
+    for n_carbons in (2, 3, 4, 5):
+        raw.append(build_alkane(n_carbons))
 
     systems = []
     for z, coords in raw:
