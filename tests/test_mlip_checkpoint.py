@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from firecode_tpu.calculators import LiteFF
 from firecode_tpu.calculators.mlip import MLIPCalculator, distill, init_params
@@ -74,3 +75,86 @@ def test_run_state_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(emb2.structures, emb.structures)
     np.testing.assert_array_equal(emb2.energies, emb.energies)
     np.testing.assert_array_equal(emb2.exit_status, emb.exit_status)
+
+
+# ------------------------------------------------ bundled CHNO checkpoint
+
+
+def test_bundled_checkpoint_validates_against_teacher(rng):
+    """VERDICT round-1 item 9: validation MAE vs the teacher, reported in a
+    test. The bundled checkpoint was distilled from LiteFF-R on 13 CHNO
+    molecules; near their relaxed geometries the student must track the
+    teacher closely."""
+    from firecode_tpu.calculators.mlip import load_mlip
+    from firecode_tpu.calculators.reactive_ff import ReactiveFF
+
+    # methanol, in the training set (teacher-relaxed region)
+    z = np.array([6, 8, 1, 1, 1, 1])
+    meoh = np.array(
+        [[0.0, 0, 0], [1.42, 0, 0], [1.75, 0.89, 0],
+         [-0.38, 0.51, 0.89], [-0.38, 0.51, -0.89], [-0.38, -1.02, 0]]
+    )
+    from firecode_tpu.opt.fire import optimize_batch
+
+    teacher = ReactiveFF(z)
+    relaxed = np.asarray(
+        optimize_batch(teacher, meoh[None].astype(np.float32), fmax=0.05, max_steps=2000).coords[0]
+    )
+    student = load_mlip(z)
+    geoms = jnp.asarray(
+        (relaxed[None] + rng.normal(scale=0.08, size=(24, 6, 3))).astype(np.float32)
+    )
+    e_t = np.asarray(teacher.energy(geoms))
+    e_s = np.asarray(student.energy(geoms))
+    mae = float(np.abs(e_s - e_t).mean())
+    corr = float(np.corrcoef(e_t, e_s)[0, 1])
+    assert mae < 15.0, f"MAE vs teacher too high: {mae:.2f} kcal/mol"
+    assert corr > 0.85, f"correlation vs teacher too low: {corr:.3f}"
+
+
+def test_bundled_checkpoint_transfers_to_held_out_composition(rng):
+    """Dimethyl ether (C2H6O, a connectivity NOT in the training set) must
+    still correlate with the teacher — element-transferable descriptors."""
+    from firecode_tpu.calculators.mlip import load_mlip
+    from firecode_tpu.calculators.reactive_ff import ReactiveFF
+    from firecode_tpu.opt.fire import optimize_batch
+
+    z = np.array([6, 8, 6, 1, 1, 1, 1, 1, 1])
+    dme = np.array(
+        [[0.0, 0, 0], [1.41, 0, 0], [2.03, 1.27, 0],
+         [-0.4, -0.5, 0.89], [-0.4, -0.5, -0.89], [-0.37, 1.02, 0],
+         [3.1, 1.1, 0], [1.74, 1.86, 0.89], [1.74, 1.86, -0.89]]
+    )
+    teacher = ReactiveFF(z)
+    relaxed = np.asarray(
+        optimize_batch(teacher, dme[None].astype(np.float32), fmax=0.05, max_steps=2000).coords[0]
+    )
+    student = load_mlip(z)
+    geoms = jnp.asarray(
+        (relaxed[None] + rng.normal(scale=0.06, size=(24, 9, 3))).astype(np.float32)
+    )
+    e_t = np.asarray(teacher.energy(geoms))
+    e_s = np.asarray(student.energy(geoms))
+    corr = float(np.corrcoef(e_t, e_s)[0, 1])
+    assert corr > 0.7, f"held-out correlation too low: {corr:.3f}"
+
+
+def test_calc_mlip_through_dispatcher():
+    from firecode_tpu.calculators.dispatcher import Dispatcher
+
+    z = np.array([8, 1, 1])
+    w = np.array([[0.0, 0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]])
+    calc = Dispatcher("MLIP").get_batch_calc(z, w[None])
+    assert calc.name == "mlip"
+    e, f = calc.energy_and_forces(jnp.asarray(np.stack([w, w + 0.02]), jnp.float32))
+    assert e.shape == (2,) and f.shape == (2, 3, 3)
+    assert np.all(np.isfinite(np.asarray(f)))
+
+
+def test_mlip_missing_checkpoint_gate(monkeypatch, tmp_path):
+    from firecode_tpu.calculators.mlip import load_mlip
+    from firecode_tpu.errors import MissingExternalError
+
+    monkeypatch.setenv("FIRECODE_TPU_MLIP_PATH", str(tmp_path / "nope.npz"))
+    with pytest.raises(MissingExternalError, match="checkpoint"):
+        load_mlip(np.array([8, 1, 1]))
