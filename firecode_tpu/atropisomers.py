@@ -37,7 +37,7 @@ def ase_dih_scan(
     quad = tuple(int(x) for x in quadruplet)
     x = np.asarray(coords, dtype=np.float64).copy()
     phi0 = np_dihedral(x[list(quad)])
-    angles, energies, frames = [], [], []
+    angles, frames = [], []
     step = direction * 360.0 / n_points
     for k in range(n_points + 1):
         phi = phi0 + k * step
@@ -45,9 +45,14 @@ def ase_dih_scan(
         res = optimize_batch(calc, x, constraints=cons, fmax=fmax, max_steps=600)
         x = np.asarray(res.coords, dtype=np.float64)
         angles.append(phi)
-        energies.append(float(res.energy))
         frames.append(x.copy())
-    return np.array(angles), np.array(energies), np.stack(frames)
+    frames = np.stack(frames)
+    # report the BARE surface energy at each scan point (the optimizer's
+    # composed energy includes the restraint penalty)
+    import jax.numpy as jnp
+
+    energies = np.asarray(calc.energy(jnp.asarray(frames)), dtype=np.float64)
+    return np.array(angles), energies, frames
 
 
 def fine_rescan(
@@ -82,7 +87,12 @@ def fine_rescan(
         cons = Constraints().add_dihedral(quad, phi_peak + off, k=k_dihedral)
         res = optimize_batch(calc, x, constraints=cons, fmax=fmax, max_steps=400)
         frames[i] = np.asarray(res.coords, dtype=np.float64)
-        energies[i] = float(res.energy)
+    # rank by the BARE surface energy: the optimizer's composed energy
+    # includes the dihedral restraint penalty, which is larger on steep
+    # shoulders and could out-score the true barrier top
+    import jax.numpy as jnp
+
+    energies[:] = np.asarray(calc.energy(jnp.asarray(frames)), dtype=np.float64)
     best = int(np.argmax(energies))
     return frames[best], float(phi_peak + offsets[best]), energies
 

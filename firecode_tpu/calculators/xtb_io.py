@@ -48,31 +48,30 @@ def _write_constrain_file(
     force_constant: float = 1.0,
 ) -> None:
     lines = ["$constrain", f"  force constant={force_constant}"]
+
+    def target_of(values, k):
+        # a 0.0-degree dihedral/angle target is a real request, not "auto"
+        if values is None or values[k] is None:
+            return "auto"
+        return values[k]
+
     if constrained_indices is not None:
         for k, (i1, i2) in enumerate(constrained_indices):
-            target = (
-                constrained_distances[k]
-                if constrained_distances is not None and constrained_distances[k]
-                else "auto"
+            lines.append(
+                f"  distance: {i1 + 1}, {i2 + 1}, {target_of(constrained_distances, k)}"
             )
-            lines.append(f"  distance: {i1 + 1}, {i2 + 1}, {target}")
     if constrained_angles_indices is not None:
         for k, (a, b, c) in enumerate(constrained_angles_indices):
-            target = (
-                constrained_angles_values[k]
-                if constrained_angles_values is not None and constrained_angles_values[k]
-                else "auto"
+            lines.append(
+                f"  angle: {a + 1}, {b + 1}, {c + 1}, "
+                f"{target_of(constrained_angles_values, k)}"
             )
-            lines.append(f"  angle: {a + 1}, {b + 1}, {c + 1}, {target}")
     if constrained_dihedrals_indices is not None:
         for k, (a, b, c, d) in enumerate(constrained_dihedrals_indices):
-            target = (
-                constrained_dihedrals_values[k]
-                if constrained_dihedrals_values is not None
-                and constrained_dihedrals_values[k]
-                else "auto"
+            lines.append(
+                f"  dihedral: {a + 1}, {b + 1}, {c + 1}, {d + 1}, "
+                f"{target_of(constrained_dihedrals_values, k)}"
             )
-            lines.append(f"  dihedral: {a + 1}, {b + 1}, {c + 1}, {d + 1}, {target}")
     lines.append("$end")
     path.write_text("\n".join(lines) + "\n")
 
@@ -191,7 +190,16 @@ def xtb_opt(
             d = float(np.linalg.norm(coords[b] - coords[a]))
             guard = 0
             while abs(d - target) > recursive_stepsize and guard < 64:
-                rung = [*targets]
+                # hold every OTHER constraint at its CURRENT distance during
+                # this rung — pinning them to their (possibly far) final
+                # targets would yank them across the full gap in one pull,
+                # exactly the scrambling the ladder exists to prevent
+                rung = [
+                    float(np.linalg.norm(coords[int(p[1])] - coords[int(p[0])]))
+                    if j != k and t is not None and len(p) == 2
+                    else t
+                    for j, (p, t) in enumerate(zip(constrained_indices, targets))
+                ]
                 rung[k] = d - recursive_stepsize * np.sign(d - target)
                 coords, _, ok = _xtb_opt_once(
                     atomnos, coords, charge=charge, method=method, solvent=solvent,

@@ -1146,7 +1146,13 @@ class RunEmbedding:
                 (tuple(int(x) for x in q), 0.0 if c == 0 else 180.0)
                 for q, c in zip(ez_quads, key[1:])
             )
-            groups[(sig, ez_sig)] = [int(i) for i in np.nonzero(key_inverse == gi)[0]]
+            # MERGE: two distinct np.unique row blocks can normalize to the
+            # same sorted-set signature (e.g. permuted or duplicated pairs);
+            # overwriting would silently drop the first block's structures
+            # from optimization entirely
+            groups.setdefault((sig, ez_sig), []).extend(
+                int(i) for i in np.nonzero(key_inverse == gi)[0]
+            )
         return groups
 
     def optimization_refining(

@@ -485,7 +485,7 @@ def freq_operator(filename: str, embedder) -> str:
         data = rrho_thermo(
             vib, mol.coords[c], mol.atomnos,
             T=embedder.options.T, P=embedder.options.P, C=embedder.options.C,
-            solvent=embedder.options.solvent,
+            solvent=embedder.options.solvent, sweep=True,
         )
         embedder.log(
             f"    Conformer {c + 1}: {n_imag} imag, lowest vib "

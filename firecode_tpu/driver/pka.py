@@ -57,7 +57,10 @@ def deprotonate(atomnos, coords, index: int):
 def get_anions(atomnos, conformers, index: int):
     """All deprotonation candidates: every H on (or at) the reactive index,
     removed from EVERY input conformer (reference firecode/pka.py:41-91
-    _get_anions). Returns (anion_atomnos, coords [n_H * n_confs, N-1, 3])."""
+    _get_anions). Removing H's at different positions leaves different
+    element ORDERINGS, so candidates are grouped by their resulting atomnos
+    sequence: returns a list of (anion_atomnos, coords [n, N-1, 3]) groups,
+    each internally consistent for batching."""
     conformers = np.asarray(conformers).reshape(-1, len(atomnos), 3)
     graph = graphize(atomnos, conformers[0])
     if atomnos[index] == 1:
@@ -66,14 +69,18 @@ def get_anions(atomnos, conformers, index: int):
         h_ids = [n for n in graph.neighbors(index) if atomnos[n] == 1]
     if not h_ids:
         raise InputError(f"No H to remove at/near index {index}")
-    frames = []
-    z_out = None
+    groups: dict[tuple, list] = {}
+    z_by_key: dict[tuple, np.ndarray] = {}
     for h in h_ids:
         mask = np.ones(len(atomnos), dtype=bool)
         mask[h] = False
-        z_out = atomnos[mask]
-        frames.append(conformers[:, mask])
-    return z_out, np.concatenate(frames)
+        z_h = atomnos[mask]
+        key = tuple(int(z) for z in z_h)
+        z_by_key[key] = z_h
+        groups.setdefault(key, []).append(conformers[:, mask])
+    return [
+        (z_by_key[key], np.concatenate(frames)) for key, frames in groups.items()
+    ]
 
 
 def get_cations(atomnos, conformers, index: int, d_xh: float = 1.04):
@@ -152,9 +159,12 @@ def pka_routine(filename: str, embedder) -> None:
     g_neutral = _best_free_energy(embedder, mol.atomnos, mol.coords, mol.charge)
 
     if is_acid:
-        # all removable H's on the site x all conformers, one batched refine
-        z2, c2 = get_anions(mol.atomnos, mol.coords, index)
-        g_other = _best_free_energy(embedder, z2, c2, mol.charge - 1)
+        # all removable H's on the site x all conformers; one batched refine
+        # per element-ordering group, best G across groups
+        g_other = min(
+            _best_free_energy(embedder, z2, c2, mol.charge - 1)
+            for z2, c2 in get_anions(mol.atomnos, mol.coords, index)
+        )
         dg = g_other - g_neutral
         mol.pka_data = ("HA -> A-", float(dg))
     else:

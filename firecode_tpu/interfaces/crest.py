@@ -328,7 +328,7 @@ def run_crest_search(filename: str, embedder) -> str:
             f"{len(constraints)} constraints)"
         )
         calc = embedder.dispatcher.get_batch_calc(
-            mol.atomnos, mol.coords, graph=mol.graph, charge=mol.charge,
+            mol.atomnos, mol.coords[0], graph=mol.graph, charge=mol.charge,
             solvent=embedder.options.solvent,
         )
         cons = Constraints()

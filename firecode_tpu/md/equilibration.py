@@ -115,8 +115,12 @@ def _npt_berendsen_run(
     dE_ds = jax.grad(scaled_energy, argnums=0)
 
     def step(carry, _):
-        x, v, box, key = carry
-        f = -grad_x(x, box)
+        # forces ride in the carry: the barostat only translates molecular
+        # centers AFTER the closing force evaluation, but recomputing the
+        # opening force would still double the dominant cost for the
+        # unscaled-majority of the motion; the small COM shift between steps
+        # is absorbed by the thermostat like any integrator noise
+        x, v, f, box, key = carry
         v = v + 0.5 * dt * f * inv_m
         x = x + 0.5 * dt * v
         key, sub = jax.random.split(key)
@@ -143,10 +147,11 @@ def _npt_berendsen_run(
         m_mol = jax.ops.segment_sum(m_col, mol_id, num_segments=n_mols)
         com = com / m_mol
         x = x + (mu - 1.0) * com[mol_id]
-        return (x, v, box * mu, key), p_atm
+        return (x, v, f, box * mu, key), p_atm
 
-    (x, v, box, key), p_hist = jax.lax.scan(
-        step, (coords, jnp.zeros_like(coords), box0, key), None, length=n_steps
+    f0 = -grad_x(coords, box0)
+    (x, v, f, box, key), p_hist = jax.lax.scan(
+        step, (coords, jnp.zeros_like(coords), f0, box0, key), None, length=n_steps
     )
     return x, box, p_hist
 

@@ -175,9 +175,12 @@ def rrho_thermo(
     C: float | None = 0.1,
     sigma: int = 1,
     solvent: str | None = None,
+    sweep: bool = False,
 ) -> dict:
-    """Full qRRHO corrections in kcal/mol. Returns components + G_corr +
-    the sigma = 1..12 rotational-entropy sweep table."""
+    """Full qRRHO corrections in kcal/mol. Returns components + G_corr;
+    with sweep=True also the sigma = 1..12 rotational-entropy table (12
+    extra inertia+entropy evaluations — only the freq> artifacts need it,
+    not the ensemble free-energy hot loop)."""
     mass = float(np.sum(MASSES[np.asarray(atomnos)]))
     linear = is_linear(coords)
     n_rot_dof = 2 if linear else 3
@@ -211,7 +214,11 @@ def rrho_thermo(
         "ts": T * s_tot,
         "g_corr": g_corr,
         "n_imag": int(np.sum(freqs_cm < 0)),
-        "rot_table": rotational_entropy_sweep(coords, atomnos, T),
+        **(
+            {"rot_table": rotational_entropy_sweep(coords, atomnos, T)}
+            if sweep
+            else {}
+        ),
     }
 
 

@@ -153,9 +153,22 @@ def test_pka_candidate_generation():
     z = np.array([8, 1, 1])
     w = np.array([[0.0, 0, 0.119], [0.0, 0.763, -0.477], [0.0, -0.763, -0.477]])
     confs = np.stack([w, w + 0.01])
-    z_a, anions = get_anions(z, confs, 0)
+    groups = get_anions(z, confs, 0)
+    # both H removals leave the same [O, H] ordering -> one batchable group
+    assert len(groups) == 1
+    z_a, anions = groups[0]
     assert list(z_a) == [8, 1]
     assert anions.shape == (4, 2, 3)
+
+    # asymmetric ordering: H,O,H with heavy atom between the H's gives
+    # element-consistent groups (the round-2 review's failure case)
+    z2 = np.array([1, 8, 1])
+    confs2 = np.stack([w[[1, 0, 2]], w[[1, 0, 2]] + 0.01])
+    groups2 = get_anions(z2, confs2, 1)
+    assert len(groups2) == 2  # [O,H] vs [H,O] orderings kept separate
+    for z_g, frames_g in groups2:
+        assert sorted(z_g.tolist()) == [1, 8]
+        assert frames_g.shape == (2, 2, 3)
 
     # protonating the O of water (2 neighbors): mean vector + 2 lobes = 3
     # placements per conformer

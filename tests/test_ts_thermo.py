@@ -250,7 +250,7 @@ def test_rotational_sweep_table():
 def test_rrho_thermo_components_and_orca_mock(tmp_path):
     from firecode_tpu.thermo import rrho_thermo, write_orca_mock_out
 
-    data = rrho_thermo(WATER_FREQS, WATER, WATER_Z, T=298.15, P=1.0, C=None)
+    data = rrho_thermo(WATER_FREQS, WATER, WATER_Z, T=298.15, P=1.0, C=None, sweep=True)
     # H_corr = ZPE + E_vib + 4 RT (3/2 trans + 3/2 rot + RT); water's thermal
     # vib energy is ~0 at 298 K (all modes > 1500 cm-1)
     from firecode_tpu.units import R_KCAL
