@@ -214,6 +214,145 @@ def _neb_fire_jit(images, k_spring, fmax_thr, maxstep, climbing, calc: Calculato
     return imgs, e, fmax_res, state[6]
 
 
+class NEBBatchResult(NamedTuple):
+    images: np.ndarray  # [R, M, N, 3]
+    energies: np.ndarray  # [R, M]
+    converged: np.ndarray  # bool[R]
+    ts_index: np.ndarray  # i[R]
+    ts_coords: np.ndarray  # [R, N, 3]
+    ts_energy: np.ndarray  # f[R]
+
+
+@partial(jax.jit, static_argnames=("calc", "max_steps"))
+def _neb_fire_batch_jit(
+    images_b, k_spring, fmax_thr, maxstep, climbing, calc: Calculator, max_steps: int
+):
+    """FIRE over MANY bands at once: images_b [R, M, N, 3].
+
+    Each band carries its own FIRE state (dt, alpha, n_pos) and freezes when
+    its residual drops below fmax_thr — R independent reactions relax as one
+    device program (no per-reaction host loop)."""
+    dt0, dt_max = 0.02, 0.1
+    f_inc, f_dec, alpha0, f_alpha, n_min = 1.1, 0.5, 0.25, 0.99, 5
+    r = images_b.shape[0]
+
+    band_forces = jax.vmap(lambda im: _neb_forces(calc, im, k_spring, climbing)[1])
+
+    def band_fmax(f):
+        return jnp.max(jnp.sqrt(jnp.sum(f * f, axis=-1)), axis=(-2, -1))  # [R]
+
+    def step_fn(state):
+        x, f, v, dt, alpha, n_pos, step = state
+        done = band_fmax(f) < fmax_thr  # [R]
+
+        power = jnp.sum(f * v, axis=(-3, -2, -1))  # [R]
+        uphill = power <= 0.0
+        n_pos = jnp.where(uphill, 0, n_pos + 1)
+        grow = (~uphill) & (n_pos > n_min)
+        dt = jnp.where(grow, jnp.minimum(dt * f_inc, dt_max), dt)
+        dt = jnp.where(uphill, dt * f_dec, dt)
+        alpha = jnp.where(grow, alpha * f_alpha, alpha)
+        alpha = jnp.where(uphill, alpha0, alpha)
+        v = jnp.where(uphill[:, None, None, None], 0.0, v)
+
+        f_norm = jnp.sqrt(jnp.sum(f * f, axis=(-3, -2, -1), keepdims=True)) + 1e-12
+        v_norm = jnp.sqrt(jnp.sum(v * v, axis=(-3, -2, -1), keepdims=True))
+        a_col = alpha[:, None, None, None]
+        dt_col = dt[:, None, None, None]
+        v = (1 - a_col) * v + a_col * v_norm * f / f_norm
+        v = v + dt_col * f
+        dx = dt_col * v
+        step_len = jnp.sqrt(jnp.sum(dx * dx, axis=-1, keepdims=True)) + 1e-12
+        dx = dx * jnp.minimum(1.0, maxstep / step_len)
+        dx = jnp.where(done[:, None, None, None], 0.0, dx)
+        x = x + dx
+        f = band_forces(x)
+        return x, f, v, dt, alpha, n_pos, step + 1
+
+    def cond(state):
+        _, f, _, _, _, _, step = state
+        return (step < max_steps) & jnp.any(band_fmax(f) >= fmax_thr)
+
+    f0 = band_forces(images_b)
+    state = (
+        images_b,
+        f0,
+        jnp.zeros_like(images_b),
+        jnp.full((r,), dt0, images_b.dtype),
+        jnp.full((r,), alpha0, images_b.dtype),
+        jnp.zeros((r,), jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    x, f, *_ = lax.while_loop(cond, step_fn, state)
+    e = jax.vmap(calc.energy)(x)  # [R, M]
+    return x, e, band_fmax(f)
+
+
+def run_neb_batch(
+    calc: Calculator,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    n_images: int = 7,
+    k_spring: float = 10.0,
+    climbing_image: bool = True,
+    interpolation: str = "idpp",
+    logfunction=None,
+) -> NEBBatchResult:
+    """NEB over a whole BATCH of reactions [R, N, 3] x2 in one device
+    program per stage — the ensemble-scale TS search the reference's
+    one-band-at-a-time ASE pipeline cannot express."""
+    log = logfunction or (lambda s: None)
+    starts = np.asarray(starts, dtype=np.float64)
+    ends = np.asarray(ends, dtype=np.float64)
+    bands = np.stack(
+        [
+            idpp_interpolate(s, e, n_images)
+            if interpolation == "idpp"
+            else interpolate_band(s, e, n_images)
+            for s, e in zip(starts, ends)
+        ]
+    )
+    band = jnp.asarray(bands)
+
+    stages = [
+        (0.2, 0.2, False, 1500),
+        (0.1, 0.1, False, 1500),
+        (0.05, 0.05, False, 2000),
+    ]
+    if climbing_image:
+        stages.append((0.05, 0.01, True, 3000))
+
+    for fmax, maxstep, climb, max_steps in stages:
+        band, e, fmax_res = _neb_fire_batch_jit(
+            band,
+            jnp.asarray(k_spring, band.dtype),
+            jnp.asarray(fmax, band.dtype),
+            jnp.asarray(maxstep, band.dtype),
+            jnp.asarray(climb),
+            calc,
+            max_steps,
+        )
+        n_conv = int(jnp.sum(fmax_res < fmax))
+        log(
+            f"    batched NEB stage fmax={fmax}{' CI' if climb else ''}: "
+            f"{n_conv}/{band.shape[0]} bands converged"
+        )
+
+    band_np = np.asarray(band, dtype=np.float64)
+    e_np = np.asarray(e, dtype=np.float64)
+    conv = np.asarray(fmax_res < stages[-1][0])
+    ts_idx = np.argmax(e_np[:, 1:-1], axis=1) + 1
+    rows = np.arange(len(band_np))
+    return NEBBatchResult(
+        images=band_np,
+        energies=e_np,
+        converged=conv,
+        ts_index=ts_idx,
+        ts_coords=band_np[rows, ts_idx],
+        ts_energy=e_np[rows, ts_idx],
+    )
+
+
 def run_neb(
     calc: Calculator,
     start: np.ndarray,

@@ -47,6 +47,26 @@ references: dict[str, str] = {
         "Pracht, P. et al. J. Chem. Phys. 2024, 160, 114110 "
         "(CREST external engine)"
     ),
+    "PAULING": (
+        "Pauling, L. J. Am. Chem. Soc. 1932, 54, 3570-3582 "
+        "(electronegativity bond-energy correction, LiteFF-R pair depths)"
+    ),
+    "SW-FREESPACE": (
+        "Shakhnovich, E. I.; Whitesides, G. M. J. Org. Chem. 1998, 63, "
+        "3821-3830 (solution free-space translational entropy)"
+    ),
+    "BERENDSEN": (
+        "Berendsen, H. J. C. et al. J. Chem. Phys. 1984, 81, 3684-3690 "
+        "(pressure coupling)"
+    ),
+    "SCHNET": (
+        "Schuett, K. T. et al. J. Chem. Phys. 2018, 148, 241722 "
+        "(continuous-filter convolutions, MLIP interaction layer)"
+    ),
+    "IDPP": (
+        "Smidstrup, S. et al. J. Chem. Phys. 2014, 140, 214106 "
+        "(image-dependent pair potential interpolation)"
+    ),
 }
 
 
@@ -55,14 +75,22 @@ def references_for_options(options) -> list[str]:
     used = ["FIRECODE-TPU", "QCP", "FIRE"]
     if options.calculator == "LITEFF":
         used.append("UFF")
+    if options.calculator == "LITEFF-R":
+        used += ["UFF", "QEQ", "PAULING"]
+    if options.calculator == "MLIP":
+        used.append("SCHNET")
     if options.calculator in ("XTB", "TBLITE"):
         used.append("XTB")
     if options.solvent is not None:
         used += ["QEQ", "GB"]
     if any("neb" in op for op in options.operators) or options.neb:
-        used.append("NEB-CI")
+        used += ["NEB-CI", "IDPP"]
     if options.freq or any("freq" in op for op in options.operators):
         used.append("QRRHO")
+        if options.C is not None and options.solvent is not None:
+            used.append("SW-FREESPACE")
+    if any("equilibrate" in op for op in options.operators):
+        used.append("BERENDSEN")
     if any(("mtd" in op or "crest" in op) for op in options.operators):
         used.append("CREST")
     return [references[k] for k in dict.fromkeys(used)]

@@ -283,3 +283,31 @@ def test_qrrho_iav_uses_molecule_moments():
     # a larger average moment -> larger effective free-rotor moment -> more
     # free-rotor entropy for low modes
     assert s_big > s_small
+
+
+def test_batched_multi_band_neb(rng):
+    """run_neb_batch: R reactions relax as one device program per stage and
+    reproduce the single-band results."""
+    from firecode_tpu.calculators.reactive_ff import ReactiveFF
+    from firecode_tpu.opt.fire import optimize_batch
+    from firecode_tpu.opt.neb import run_neb, run_neb_batch
+
+    z = np.array([1, 1, 1])
+    calc = ReactiveFF(z)
+    start = np.array([[0.0, 0, 0], [0.78, 0, 0], [2.9, 0, 0]])
+    end = np.array([[-2.12, 0, 0], [0.0, 0, 0], [0.78, 0, 0]])
+    r0 = optimize_batch(calc, np.stack([start, end]), fmax=0.01, max_steps=2000)
+    s, e = np.asarray(r0.coords[0]), np.asarray(r0.coords[1])
+
+    # two copies of the same reaction (one slightly perturbed endpoints)
+    batch = run_neb_batch(
+        calc, np.stack([s, s]), np.stack([e, e]), n_images=9
+    )
+    assert batch.images.shape == (2, 9, 3, 3)
+    assert batch.converged.all()
+    single = run_neb(calc, s, e, n_images=9)
+    barrier_b = batch.ts_energy - batch.energies[:, 0]
+    barrier_s = single.ts_energy - single.energies[0]
+    np.testing.assert_allclose(barrier_b, barrier_s, atol=0.3)
+    # the two identical bands agree with each other tightly
+    np.testing.assert_allclose(batch.ts_energy[0], batch.ts_energy[1], atol=1e-6)
