@@ -239,9 +239,15 @@ def neb_operator(filename: str, embedder) -> str:
         ts_guess = None
     elif len(mol.coords) == 3:
         start, ts_guess, end = mol.coords
+    elif len(mol.coords) >= 4 and len(mol.coords) % 2 == 0:
+        # ensemble-pairs extension (beyond the reference, which only takes
+        # one band): frames [r1, p1, r2, p2, ...] relax as ONE batched
+        # multi-band NEB device program
+        return _neb_operator_batched(filename, embedder, mol)
     else:
         raise InputError(
-            f"neb> needs 2 (reagent, product) or 3 (reagent, TS guess, product) "
+            f"neb> needs 2 (reagent, product), 3 (reagent, TS guess, product) "
+            f"or an even number >= 4 (reagent/product pairs, batched) of "
             f"structures in {filename}, found {len(mol.coords)}"
         )
 
@@ -280,6 +286,48 @@ def neb_operator(filename: str, embedder) -> str:
     )
     mep_name = f"{Path(filename).stem}_MEP.xyz"
     write_xyz(mep_name, mol.atoms, result.images, energies=None)
+    outname = f"{Path(filename).stem}_TS.xyz"
+    write_xyz(outname, mol.atoms, result.ts_coords)
+    return outname
+
+
+def _neb_operator_batched(filename: str, embedder, mol) -> str:
+    """Batched pairs mode of neb>: [r1, p1, r2, p2, ...] -> R bands in one
+    device program per stage (firecode_tpu.opt.neb.run_neb_batch)."""
+    from firecode_tpu.opt import optimize_batch
+    from firecode_tpu.opt.neb import run_neb_batch
+
+    calc = _get_calc(embedder, mol)
+    neb_options = embedder.options.neb
+    n_images = neb_options.n_images if neb_options else (embedder.options.images or 7)
+    pairs = mol.coords.reshape(-1, 2, mol.n_atoms, 3)
+    starts, ends = pairs[:, 0], pairs[:, 1]
+    embedder.log(f"    Batched NEB over {len(pairs)} reagent/product pairs")
+
+    if neb_options is None or neb_options.preopt:
+        embedder.log("    Pre-optimizing all endpoints (one batch)")
+        res = optimize_batch(
+            calc, mol.coords.astype(np.float64), fmax=0.05, max_steps=2000
+        )
+        opt = np.asarray(res.coords, dtype=np.float64).reshape(-1, 2, mol.n_atoms, 3)
+        starts, ends = opt[:, 0], opt[:, 1]
+
+    result = run_neb_batch(
+        calc, starts, ends, n_images=n_images,
+        climbing_image=neb_options.climbing_image if neb_options else True,
+        logfunction=lambda s: embedder.log(s, p=False),
+    )
+    barriers = result.ts_energy - result.energies[:, 0]
+    for r, (conv, barrier) in enumerate(zip(result.converged, barriers)):
+        embedder.log(
+            f"    Band {r + 1}: {'converged' if conv else 'MAX ITER'}, "
+            f"barrier = {barrier:.2f} kcal/mol (TS image "
+            f"{int(result.ts_index[r]) + 1}/{n_images})"
+        )
+        write_xyz(
+            f"{Path(filename).stem}_MEP_{r + 1}.xyz", mol.atoms, result.images[r],
+            energies=None,
+        )
     outname = f"{Path(filename).stem}_TS.xyz"
     write_xyz(outname, mol.atoms, result.ts_coords)
     return outname

@@ -178,3 +178,27 @@ def test_pka_candidate_generation():
     # every added H sits ~1.04 A from the O
     for frame in cations:
         assert abs(np.linalg.norm(frame[3] - frame[0]) - 1.04) < 1e-6
+
+
+def test_neb_operator_batched_pairs(rundir):
+    """neb> with 4 frames = two reagent/product pairs, batched multi-band."""
+    import numpy as np
+
+    from firecode_tpu.io.xyz import write_xyz
+
+    # two copies of the H2+H identity exchange as [r1, p1, r2, p2]
+    r = np.array([[0.0, 0, 0], [0.78, 0, 0], [2.9, 0, 0]])
+    p = np.array([[-2.12, 0, 0], [0.0, 0, 0], [0.78, 0, 0]])
+    frames = np.stack([r, p, r + 0.001, p + 0.001])
+    run_input(
+        rundir,
+        "NOOPT CALC=LITEFF-R NEB(images=9)\nneb> hx.xyz\n",
+        {"hx.xyz": (np.array([1, 1, 1]), frames)},
+    )
+    assert (rundir / "hx_TS.xyz").exists()
+    assert (rundir / "hx_MEP_1.xyz").exists()
+    assert (rundir / "hx_MEP_2.xyz").exists()
+    from firecode_tpu.io.xyz import read_xyz
+
+    _, ts, _ = read_xyz(rundir / "hx_TS.xyz")
+    assert ts.shape == (2, 3, 3)  # one TS per band
