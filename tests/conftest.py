@@ -46,3 +46,15 @@ def perturb_ensemble(
         shift = rng.normal(scale=5.0, size=(1, 3))
         out[b] = (base + jitter) @ r.T + shift
     return out
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound compile-cache memory across the suite: nearly 200 tests of
+    accumulated jitted programs can exhaust this host's memory and segfault
+    XLA-CPU late in the run (observed at ~190 tests). Clearing per module
+    trades a few recompiles for bounded residency."""
+    yield
+    import jax
+
+    jax.clear_caches()
