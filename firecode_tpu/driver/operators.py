@@ -405,17 +405,20 @@ def _distance_scan(mol, pair, embedder, step: float = -0.05) -> str:
     d_start = float(np.linalg.norm(coords[i1] - coords[i2]))
     d_min = 0.9 * float(COVALENT_RADII[mol.atomnos[i1]] + COVALENT_RADII[mol.atomnos[i2]])
 
-    distances, energies, frames = [], [], []
+    distances, frames = [], []
     d = d_start
     while d > d_min:
         cons = Constraints().add_distance(i1, i2, d, k=1000.0)
         res = optimize_batch(calc, coords, constraints=cons, fmax=0.1, max_steps=800)
         coords = np.asarray(res.coords, dtype=np.float64)
         distances.append(d)
-        energies.append(float(res.energy))
         frames.append(coords.copy())
         d += step
 
+    # bare surface energies (the optimizer's include the restraint penalty)
+    import jax.numpy as jnp
+
+    energies = np.asarray(calc.energy(jnp.asarray(np.stack(frames))))
     energies_arr = np.array(energies) - min(energies)
     mol.scan_data = (distances, energies_arr.tolist())
     peak = _scan_peak_index(energies_arr.tolist())
@@ -439,16 +442,19 @@ def _dihedral_scan(mol, quad, embedder, n_points: int | None = None) -> str:
     calc = _get_calc(embedder, mol)
     coords = mol.coords[0].copy()
     phi0 = np_dihedral(coords[list(quad)])
-    angles, energies, frames = [], [], []
+    angles, frames = [], []
     for k in range(n_points + 1):
         phi = phi0 + k * 360.0 / n_points
         cons = Constraints().add_dihedral(tuple(int(x) for x in quad), phi, k=100.0)
         res = optimize_batch(calc, coords, constraints=cons, fmax=0.1, max_steps=800)
         coords = np.asarray(res.coords, dtype=np.float64)
         angles.append(phi)
-        energies.append(float(res.energy))
         frames.append(coords.copy())
 
+    # bare surface energies (the optimizer's include the restraint penalty)
+    import jax.numpy as jnp
+
+    energies = np.asarray(calc.energy(jnp.asarray(np.stack(frames))))
     energies_arr = np.array(energies) - min(energies)
     mol.scan_data = (angles, energies_arr.tolist())
     peak = _scan_peak_index(energies_arr.tolist())
