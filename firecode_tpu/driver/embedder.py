@@ -509,6 +509,10 @@ class Embedder:
                         mult=old.mult,
                     )
                     self.objects[index].constraints = old.constraints
+                    if hasattr(old, "scan_data"):
+                        # a chained saddle>/neb> consumes the scan profile
+                        # (reference operators.py:846-946 scan-max pick)
+                        self.objects[index].scan_data = old.scan_data
                     if len(old.reactive_indices):
                         self.objects[index].compute_orbitals(
                             override="single" if self.options.simpleorbitals else None

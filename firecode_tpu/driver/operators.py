@@ -234,21 +234,38 @@ def neb_operator(filename: str, embedder) -> str:
     from firecode_tpu.opt.neb import run_neb
 
     mol = _mol_for(filename, embedder)
+    neb_opts = embedder.options.neb
+    band_guess = None
     if len(mol.coords) == 2:
         start, end = mol.coords
         ts_guess = None
     elif len(mol.coords) == 3:
         start, ts_guess, end = mol.coords
-    elif len(mol.coords) >= 4 and len(mol.coords) % 2 == 0:
-        # ensemble-pairs extension (beyond the reference, which only takes
-        # one band): frames [r1, p1, r2, p2, ...] relax as ONE batched
-        # multi-band NEB device program
-        return _neb_operator_batched(filename, embedder, mol)
+    elif len(mol.coords) >= 4:
+        if neb_opts is not None and neb_opts.pairs:
+            if len(mol.coords) % 2:
+                raise InputError(
+                    f"NEB(pairs) needs an even number of structures in "
+                    f"{filename}, found {len(mol.coords)}"
+                )
+            # ensemble-pairs extension: frames [r1, p1, r2, p2, ...] relax
+            # as ONE batched multi-band NEB device program
+            return _neb_operator_batched(filename, embedder, mol)
+        # reference semantics (firecode/operators.py:290-296): many frames
+        # (e.g. a scan> trajectory) are the MEP guess — endpoints + a band
+        # resampled to n_images from the given path
+        start, end = mol.coords[0], mol.coords[-1]
+        ts_guess = None
+        n_img = neb_opts.n_images if neb_opts else (embedder.options.images or 7)
+        pick = np.linspace(0, len(mol.coords) - 1, n_img).round().astype(int)
+        band_guess = mol.coords[pick].astype(np.float64)
+        embedder.log(
+            f"    {len(mol.coords)} structures as input: casting {n_img} "
+            "images from them as the NEB MEP guess"
+        )
     else:
         raise InputError(
-            f"neb> needs 2 (reagent, product), 3 (reagent, TS guess, product) "
-            f"or an even number >= 4 (reagent/product pairs, batched) of "
-            f"structures in {filename}, found {len(mol.coords)}"
+            f"neb> needs >= 2 structures in {filename}, found {len(mol.coords)}"
         )
 
     calc = _get_calc(embedder, mol)
@@ -260,10 +277,12 @@ def neb_operator(filename: str, embedder) -> str:
         res = optimize_batch(calc, np.stack([start, end]), fmax=0.05, max_steps=2000)
         ends = np.asarray(res.coords, dtype=np.float64)
         start, end = ends[0], ends[1]
+        if band_guess is not None:
+            band_guess[0], band_guess[-1] = start, end
 
     # up to 3 attempts, each restarting from the previous band (reference
     # restart-from-checkpoint logic, firecode/operators.py:349-394)
-    band = None
+    band = band_guess
     for attempt in range(3):
         result = run_neb(
             calc,
@@ -427,10 +446,13 @@ def _distance_scan(mol, pair, embedder, step: float = -0.05) -> str:
         f"({energies_arr[peak]:.2f} kcal/mol)"
     )
 
-    outname = f"{Path(mol.filename).stem}_scan_peak.xyz"
-    write_xyz(outname, mol.atoms, frames[peak])
-    write_xyz(f"{Path(mol.filename).stem}_scan.xyz", mol.atoms, np.stack(frames))
+    write_xyz(f"{Path(mol.filename).stem}_scan_peak.xyz", mol.atoms, frames[peak])
+    outname = f"{Path(mol.filename).stem}_scan.xyz"
+    write_xyz(outname, mol.atoms, np.stack(frames))
     _plot_scan(distances, energies_arr, Path(mol.filename).stem, "Distance (A)")
+    # the full trajectory is the operator output (reference operators.py:
+    # 810-843): a chained neb> uses it as the MEP guess, a chained saddle>
+    # picks the maximum via mol.scan_data
     return outname
 
 
@@ -458,9 +480,9 @@ def _dihedral_scan(mol, quad, embedder, n_points: int | None = None) -> str:
     energies_arr = np.array(energies) - min(energies)
     mol.scan_data = (angles, energies_arr.tolist())
     peak = _scan_peak_index(energies_arr.tolist())
-    outname = f"{Path(mol.filename).stem}_scan_peak.xyz"
-    write_xyz(outname, mol.atoms, frames[peak])
-    write_xyz(f"{Path(mol.filename).stem}_scan.xyz", mol.atoms, np.stack(frames))
+    write_xyz(f"{Path(mol.filename).stem}_scan_peak.xyz", mol.atoms, frames[peak])
+    outname = f"{Path(mol.filename).stem}_scan.xyz"
+    write_xyz(outname, mol.atoms, np.stack(frames))
     _plot_scan(angles, energies_arr, Path(mol.filename).stem, "Dihedral (deg)")
     return outname
 
@@ -505,8 +527,19 @@ def saddle_operator(filename: str, embedder) -> str:
 
     mol = _mol_for(filename, embedder)
     calc = _get_calc(embedder, mol)
+    scan_data = getattr(mol, "scan_data", None)
+    if scan_data is not None and len(mol.coords) == len(scan_data[1]):
+        # chained after scan>: refine the scan maximum, not the first frame
+        # (reference operators.py:846-946)
+        guess_id = int(np.argmax(scan_data[1]))
+        embedder.log(
+            f"    Chained after scan>: refining scan point {guess_id + 1}"
+            f"/{len(mol.coords)}"
+        )
+    else:
+        guess_id = 0
     result = saddle_refine(
-        calc, mol.coords[0], logfunction=lambda s: embedder.log(s, p=False)
+        calc, mol.coords[guess_id], logfunction=lambda s: embedder.log(s, p=False)
     )
     embedder.log(
         f"    Saddle {'converged' if result.converged else 'NOT converged'}: "

@@ -74,6 +74,7 @@ class NEBOptions:
     n_images: int = 7
     preopt: bool = True
     climbing_image: bool = True
+    pairs: bool = False  # >=4 even frames = reagent/product pairs (batched)
 
     def __bool__(self) -> bool:
         return True
@@ -282,6 +283,17 @@ class OptionSetter:
             for piece in body.split(","):
                 if not piece:
                     continue
+                if piece in ("pairs", "pairs=true"):
+                    # multi-frame inputs = reagent/product pairs run as a
+                    # batched multi-band NEB (extension; the default for >3
+                    # frames is the reference's MEP-guess interpretation)
+                    o.neb.pairs = True
+                    continue
+                if "=" not in piece:
+                    raise SyntaxError(
+                        f"NEB syntax error: {body!r}. "
+                        "Use NEB(images=7,preopt=true,ci=false,pairs)"
+                    )
                 name, value = piece.split("=")
                 if name == "images":
                     o.neb.n_images = int(value)
@@ -291,7 +303,8 @@ class OptionSetter:
                     o.neb.climbing_image = False
                 else:
                     raise SyntaxError(
-                        f"NEB syntax error: {body!r}. Use NEB(images=7,preopt=true,ci=false)"
+                        f"NEB syntax error: {body!r}. "
+                        "Use NEB(images=7,preopt=true,ci=false,pairs)"
                     )
 
     def level(self, o):

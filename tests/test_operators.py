@@ -137,8 +137,10 @@ def test_scan_then_saddle_chain(rundir):
         {"but.xyz": (atomnos, coords)},
     )
     assert (rundir / "but_scan_peak.xyz").exists()
-    # saddle ran on the scan peak output (composition: saddle(scan(x)))
-    assert (rundir / "but_scan_peak_saddle.xyz").exists()
+    # scan> outputs the FULL trajectory (reference semantics); the chained
+    # saddle> picks the scan maximum via mol.scan_data
+    assert (rundir / "but_scan.xyz").exists()
+    assert (rundir / "but_scan_saddle.xyz").exists()
 
 
 def test_pka_candidate_generation():
@@ -192,7 +194,7 @@ def test_neb_operator_batched_pairs(rundir):
     frames = np.stack([r, p, r + 0.001, p + 0.001])
     run_input(
         rundir,
-        "NOOPT CALC=LITEFF-R NEB(images=9)\nneb> hx.xyz\n",
+        "NOOPT CALC=LITEFF-R NEB(images=9,pairs)\nneb> hx.xyz\n",
         {"hx.xyz": (np.array([1, 1, 1]), frames)},
     )
     assert (rundir / "hx_TS.xyz").exists()
@@ -202,3 +204,26 @@ def test_neb_operator_batched_pairs(rundir):
 
     _, ts, _ = read_xyz(rundir / "hx_TS.xyz")
     assert ts.shape == (2, 3, 3)  # one TS per band
+
+
+
+def test_neb_operator_mep_guess_from_many_frames(rundir):
+    """>3 frames WITHOUT NEB(pairs) = the reference's MEP-guess semantics:
+    endpoints + a band resampled from the given path (e.g. a scan>
+    trajectory feeding neb>)."""
+    import numpy as np
+
+    from firecode_tpu.io.xyz import read_xyz, write_xyz
+
+    # 6-frame linear path of the H2+H identity exchange
+    r = np.array([[0.0, 0, 0], [0.78, 0, 0], [2.9, 0, 0]])
+    p = np.array([[-2.12, 0, 0], [0.0, 0, 0], [0.78, 0, 0]])
+    path = np.stack([(1 - t) * r + t * p for t in np.linspace(0, 1, 6)])
+    run_input(
+        rundir,
+        "NOOPT CALC=LITEFF-R NEB(images=9)\nneb> hx.xyz\n",
+        {"hx.xyz": (np.array([1, 1, 1]), path)},
+    )
+    assert (rundir / "hx_TS.xyz").exists()
+    _, ts, _ = read_xyz(rundir / "hx_TS.xyz")
+    assert ts.shape == (1, 3, 3)  # single band
