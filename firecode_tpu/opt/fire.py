@@ -88,7 +88,7 @@ def _fire_step(energy_and_forces, move_mask, fmax_thr, state: _FireState) -> _Fi
     return _FireState(coords, v, dt, alpha, n_pos, converged, state.step + 1)
 
 
-@partial(jax.jit, static_argnames=("calc", "max_steps"))
+@partial(jax.jit, static_argnames=("calc",))
 def _optimize_batch_jit(coords, move_mask, fmax_thr, calc: Calculator, max_steps: int):
     b = coords.shape[0]
     state = _FireState(

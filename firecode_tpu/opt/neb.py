@@ -157,7 +157,7 @@ def _neb_forces(calc, images, k_spring, climbing):
     return e, neb_f
 
 
-@partial(jax.jit, static_argnames=("calc", "max_steps"))
+@partial(jax.jit, static_argnames=("calc",))
 def _neb_fire_jit(images, k_spring, fmax_thr, maxstep, climbing, calc: Calculator, max_steps: int):
     """Global FIRE over the whole band.
 
@@ -223,7 +223,7 @@ class NEBBatchResult(NamedTuple):
     ts_energy: np.ndarray  # f[R]
 
 
-@partial(jax.jit, static_argnames=("calc", "max_steps"))
+@partial(jax.jit, static_argnames=("calc",))
 def _neb_fire_batch_jit(
     images_b, k_spring, fmax_thr, maxstep, climbing, calc: Calculator, max_steps: int
 ):

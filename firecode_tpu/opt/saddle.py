@@ -41,7 +41,7 @@ class SaddleBatchResult(NamedTuple):
     n_steps: int
 
 
-@partial(jax.jit, static_argnames=("calc", "max_steps"))
+@partial(jax.jit, static_argnames=("calc",))
 def _saddle_ef_jit(coords_b, fmax_thr, trust_radius, calc: Calculator, max_steps: int):
     """Batched eigenvector-following: whole TS ensemble in one jitted loop.
 
