@@ -509,9 +509,13 @@ class Embedder:
                         mult=old.mult,
                     )
                     self.objects[index].constraints = old.constraints
-                    if hasattr(old, "scan_data"):
+                    if hasattr(old, "scan_data") and "scan" in operator:
                         # a chained saddle>/neb> consumes the scan profile
-                        # (reference operators.py:846-946 scan-max pick)
+                        # (reference operators.py:846-946 scan-max pick);
+                        # only carried across the scan's OWN output — any
+                        # other operator reorders/alters frames and would
+                        # leave the stored energies pointing at the wrong
+                        # structures
                         self.objects[index].scan_data = old.scan_data
                     if len(old.reactive_indices):
                         self.objects[index].compute_orbitals(

@@ -257,8 +257,15 @@ def neb_operator(filename: str, embedder) -> str:
         start, end = mol.coords[0], mol.coords[-1]
         ts_guess = None
         n_img = neb_opts.n_images if neb_opts else (embedder.options.images or 7)
-        pick = np.linspace(0, len(mol.coords) - 1, n_img).round().astype(int)
-        band_guess = mol.coords[pick].astype(np.float64)
+        # fractional interpolation along the given path: integer rounding
+        # would duplicate adjacent images (zero tangent/spring) whenever
+        # n_images does not evenly divide the frame count
+        t = np.linspace(0.0, len(mol.coords) - 1.0, n_img)
+        lo = np.floor(t).astype(int)
+        hi = np.minimum(lo + 1, len(mol.coords) - 1)
+        frac = (t - lo)[:, None, None]
+        path = mol.coords.astype(np.float64)
+        band_guess = (1.0 - frac) * path[lo] + frac * path[hi]
         embedder.log(
             f"    {len(mol.coords)} structures as input: casting {n_img} "
             "images from them as the NEB MEP guess"
@@ -529,9 +536,11 @@ def saddle_operator(filename: str, embedder) -> str:
     calc = _get_calc(embedder, mol)
     scan_data = getattr(mol, "scan_data", None)
     if scan_data is not None and len(mol.coords) == len(scan_data[1]):
-        # chained after scan>: refine the scan maximum, not the first frame
-        # (reference operators.py:846-946)
-        guess_id = int(np.argmax(scan_data[1]))
+        # chained after scan>: refine the scan PEAK (same prominence logic as
+        # the scan's own pick — a raw argmax would grab over-compressed
+        # repulsive-wall frames at the end of distance scans), reference
+        # operators.py:846-946
+        guess_id = _scan_peak_index(list(scan_data[1]))
         embedder.log(
             f"    Chained after scan>: refining scan point {guess_id + 1}"
             f"/{len(mol.coords)}"

@@ -283,24 +283,22 @@ class OptionSetter:
             for piece in body.split(","):
                 if not piece:
                     continue
-                if piece in ("pairs", "pairs=true"):
+                if piece == "pairs":
                     # multi-frame inputs = reagent/product pairs run as a
                     # batched multi-band NEB (extension; the default for >3
                     # frames is the reference's MEP-guess interpretation)
                     o.neb.pairs = True
                     continue
-                if "=" not in piece:
-                    raise SyntaxError(
-                        f"NEB syntax error: {body!r}. "
-                        "Use NEB(images=7,preopt=true,ci=false,pairs)"
-                    )
-                name, value = piece.split("=")
-                if name == "images":
+                name, _, value = piece.partition("=")
+                flags = {"true": True, "false": False}
+                if name == "images" and value:
                     o.neb.n_images = int(value)
-                elif piece == "preopt=false":
-                    o.neb.preopt = False
-                elif piece == "ci=false":
-                    o.neb.climbing_image = False
+                elif name == "preopt" and value in flags:
+                    o.neb.preopt = flags[value]
+                elif name == "ci" and value in flags:
+                    o.neb.climbing_image = flags[value]
+                elif name == "pairs" and value in flags:
+                    o.neb.pairs = flags[value]
                 else:
                     raise SyntaxError(
                         f"NEB syntax error: {body!r}. "

@@ -214,6 +214,88 @@ def _neb_fire_jit(images, k_spring, fmax_thr, maxstep, climbing, calc: Calculato
     return imgs, e, fmax_res, state[6]
 
 
+def _stage_schedule(climbing_image: bool):
+    """The 4-phase fmax/maxstep/steps schedule shared by run_neb and
+    run_neb_batch (mirrors the reference's DyNEB phases) — one definition so
+    the two paths cannot silently diverge."""
+    stages = [
+        (0.2, 0.2, False, 1500),
+        (0.1, 0.1, False, 1500),
+        (0.05, 0.05, False, 2000),
+    ]
+    if climbing_image:
+        stages.append((0.05, 0.01, True, 3000))
+    return stages
+
+
+def idpp_interpolate_batch(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    n_images: int,
+    fmax: float = 0.1,
+    max_steps: int = 600,
+) -> np.ndarray:
+    """IDPP interpolation of R bands AT ONCE: [R, N, 3] x2 -> [R, M, N, 3].
+
+    Every band flattens to one (M*N)-atom "structure" and all R relax as a
+    single optimize_batch call — a sequential per-band loop would serialize
+    the setup of the batched NEB at exactly the ensemble scale it targets."""
+    from firecode_tpu.calculators.base import Calculator
+    from firecode_tpu.opt.constraints import Constraints
+    from firecode_tpu.opt.fire import optimize_batch
+
+    starts = np.asarray(starts, dtype=np.float64)
+    ends = np.asarray(ends, dtype=np.float64)
+    r, n, _ = starts.shape
+    m = n_images
+    bands = np.stack(
+        [interpolate_band(s, e, m) for s, e in zip(starts, ends)]
+    )  # [R, M, N, 3]
+
+    def pdist(c):  # [R, N, 3] -> [R, N, N]
+        diff = c[:, :, None, :] - c[:, None, :, :]
+        return np.sqrt(np.sum(diff * diff, axis=-1) + 1e-12)
+
+    d0, d1 = pdist(starts), pdist(ends)
+    lam = np.linspace(0.0, 1.0, m)[None, :, None, None]
+    targets = (1 - lam) * d0[:, None] + lam * d1[:, None]  # [R, M, N, N]
+    weights = 1.0 / np.maximum(targets, 0.5) ** 4
+    np.einsum("rkii->rki", weights)[:] = 0.0
+
+    targets_j = jnp.asarray(targets, jnp.float32)
+    weights_j = jnp.asarray(weights, jnp.float32)
+
+    def idpp_energy(flat_coords: jnp.ndarray, band_id: jnp.ndarray) -> jnp.ndarray:
+        c = flat_coords.reshape(m, n, 3)
+        diff = c[:, :, None, :] - c[:, None, :, :]
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        dev = d - targets_j[band_id].astype(flat_coords.dtype)
+        return 0.5 * jnp.sum(weights_j[band_id].astype(flat_coords.dtype) * dev * dev)
+
+    # the per-band targets ride along as a virtual "atom" carrying the band
+    # index, so one Calculator serves all bands under the standard vmap
+    def energy_with_tag(flat_plus_tag: jnp.ndarray) -> jnp.ndarray:
+        band_id = flat_plus_tag[-1, 0].astype(jnp.int32)
+        return idpp_energy(flat_plus_tag[:-1], band_id)
+
+    calc = Calculator(energy_with_tag, name="idpp-batch")
+    cons = Constraints().freeze_atoms(
+        list(range(n)) + list(range((m - 1) * n, m * n)) + [m * n]
+    )
+    flat = bands.reshape(r, m * n, 3).astype(np.float32)
+    tags = np.zeros((r, 1, 3), dtype=np.float32)
+    tags[:, 0, 0] = np.arange(r)
+    res = optimize_batch(
+        calc,
+        np.concatenate([flat, tags], axis=1),
+        constraints=cons,
+        fmax=fmax,
+        max_steps=max_steps,
+    )
+    out = np.asarray(res.coords, dtype=np.float64)[:, :-1]
+    return out.reshape(r, m, n, 3)
+
+
 class NEBBatchResult(NamedTuple):
     images: np.ndarray  # [R, M, N, 3]
     energies: np.ndarray  # [R, M]
@@ -284,7 +366,7 @@ def _neb_fire_batch_jit(
         jnp.asarray(0, jnp.int32),
     )
     x, f, *_ = lax.while_loop(cond, step_fn, state)
-    e = jax.vmap(calc.energy)(x)  # [R, M]
+    e = calc.energy(x)  # [R, M] (Calculator.energy vmaps all leading dims)
     return x, e, band_fmax(f)
 
 
@@ -304,23 +386,15 @@ def run_neb_batch(
     log = logfunction or (lambda s: None)
     starts = np.asarray(starts, dtype=np.float64)
     ends = np.asarray(ends, dtype=np.float64)
-    bands = np.stack(
-        [
-            idpp_interpolate(s, e, n_images)
-            if interpolation == "idpp"
-            else interpolate_band(s, e, n_images)
-            for s, e in zip(starts, ends)
-        ]
-    )
+    if interpolation == "idpp":
+        bands = idpp_interpolate_batch(starts, ends, n_images)
+    else:
+        bands = np.stack(
+            [interpolate_band(s, e, n_images) for s, e in zip(starts, ends)]
+        )
     band = jnp.asarray(bands)
 
-    stages = [
-        (0.2, 0.2, False, 1500),
-        (0.1, 0.1, False, 1500),
-        (0.05, 0.05, False, 2000),
-    ]
-    if climbing_image:
-        stages.append((0.05, 0.01, True, 3000))
+    stages = _stage_schedule(climbing_image)
 
     for fmax, maxstep, climb, max_steps in stages:
         band, e, fmax_res = _neb_fire_batch_jit(
@@ -375,13 +449,7 @@ def run_neb(
     band = jnp.asarray(images)
 
     # staged schedule mirroring the reference's 4 phases
-    stages = [
-        (0.2, 0.2, False, 1500),
-        (0.1, 0.1, False, 1500),
-        (0.05, 0.05, False, 2000),
-    ]
-    if climbing_image:
-        stages.append((0.05, 0.01, True, 3000))
+    stages = _stage_schedule(climbing_image)
 
     converged = False
     for fmax, maxstep, climb, max_steps in stages:

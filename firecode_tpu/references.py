@@ -87,7 +87,9 @@ def references_for_options(options) -> list[str]:
         used += ["NEB-CI", "IDPP"]
     if options.freq or any("freq" in op for op in options.operators):
         used.append("QRRHO")
-        if options.C is not None and options.solvent is not None:
+        if options.P is None and options.solvent is not None:
+            # the free-space correction only runs for the solution reference
+            # state (thermo.translational_entropy uses C only when P is None)
             used.append("SW-FREESPACE")
     if any("equilibrate" in op for op in options.operators):
         used.append("BERENDSEN")

@@ -114,3 +114,28 @@ def test_multiplicity_check():
     assert multiplicity_check(water, 0, 1)
     assert not multiplicity_check(water, 0, 2)
     assert multiplicity_check(water, -1, 2)  # 11 electrons -> doublet
+
+
+def test_neb_suboption_affirmative_forms():
+    """NEB(preopt=true), NEB(ci=true), NEB(pairs=false) must parse (a prior
+    version rejected the affirmative forms its own error message suggested)."""
+    from types import SimpleNamespace
+
+    from firecode_tpu.driver.options import Options, OptionSetter
+
+    def parse(kw_line):
+        emb = SimpleNamespace(kw_line=kw_line, options=Options())
+        setter = OptionSetter(emb)
+        setter.set_options()
+        return emb.options.neb
+
+    neb = parse("NEB(images=9,preopt=true,ci=true)")
+    assert neb.n_images == 9 and neb.preopt and neb.climbing_image
+    neb2 = parse("NEB(preopt=false,ci=false,pairs)")
+    assert not neb2.preopt and not neb2.climbing_image and neb2.pairs
+    neb3 = parse("NEB(pairs=false)")
+    assert not neb3.pairs
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError, match="NEB syntax"):
+        parse("NEB(bogus=1)")
