@@ -131,3 +131,29 @@ def test_cli_has_resume_flag():
     # smoke: --resume is accepted by the real parser
     with pytest.raises(SystemExit):
         cli.main(["--help"])
+
+
+def test_resume_from_loose_stage_snapshot(rundir, rng):
+    """A snapshot tagged optimization_loose forces the loose stage on resume
+    (even below the 500-structure threshold) and then completes normally."""
+    _write_refine_input(rundir, rng, n_confs=4)
+
+    from firecode_tpu.driver import Embedder
+    from firecode_tpu.driver.checkpoint import save_state
+    from firecode_tpu.driver.embedder import RunEmbedding
+
+    emb = Embedder(str(rundir / "input.txt"), stamp="loose")
+    run = RunEmbedding(emb)
+    run.generate_candidates()
+    run.compenetration_refining()
+    run.similarity_refining(rmsd=True)
+    done = np.zeros(len(run.structures), dtype=bool)
+    run.energies = np.zeros(len(run.structures))
+    save_state(run, "optimization_loose", path=rundir / "loose.npz", done=done)
+
+    _run(rundir, "resumed_loose", resume=str(rundir / "loose.npz"))
+    assert (rundir / "firecode_final_ensemble_resumed_loose.xyz").exists()
+    log = (rundir / "firecode_resumed_loose.log").read_text()
+    assert "Resuming from" in log
+    assert "Structure optimization (loose)" in log
+    assert "Structure optimization (tight)" in log
