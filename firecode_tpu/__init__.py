@@ -30,10 +30,10 @@ def __getattr__(name):
         from firecode_tpu.opt import optimize_batch
 
         return optimize_batch
-    if name == "LiteFF":
-        from firecode_tpu.calculators import LiteFF
+    if name in ("LiteFF", "ReactiveFF"):
+        import firecode_tpu.calculators as calculators
 
-        return LiteFF
+        return getattr(calculators, name)
     if name == "Embedder":
         from firecode_tpu.driver import Embedder
 
@@ -55,6 +55,7 @@ __all__ = [
     "prune_by_tfd",
     "optimize_batch",
     "LiteFF",
+    "ReactiveFF",
     "Embedder",
     "Hypermolecule",
     "__version__",
