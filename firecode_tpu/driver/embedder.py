@@ -967,52 +967,65 @@ class RunEmbedding:
                             f"similarity ({int(mask.sum())} left)"
                         )
 
+        # NOTE: the reference skips MOI/RMSD pruning above 1e5 structures and
+        # rot-corr RMSD above 1e3 (firecode/embedder.py:1449-1511) — CPU-era
+        # truncations. The tiled device kernels scale past both, so the
+        # ceilings are deleted here; above the reference's old limits we log
+        # the fact (LET-style) instead of silently turning pruning off.
         if moi:
-            if len(self.structures) <= 1e5:
-                mask = prune_by_moi(
-                    self.structures, self.atomnos, energies=energies,
-                    mesh=self.device_mesh,
+            if len(self.structures) > 1e5:
+                self.log(
+                    f"MOI pruning at {len(self.structures)} structures "
+                    "(reference CPU ceiling of 1e5 does not apply)"
                 )
-                self.apply_mask(attr, mask)
-                if energies is not None:
-                    energies = energies[mask]
-                if not mask.all():
-                    self.log(
-                        f"Discarded {int((~mask).sum())} candidates for MOI "
-                        f"similarity ({int(mask.sum())} left)"
-                    )
-            else:
-                self.log("Skipped MOI pruning (>100k structures)")
+            mask = prune_by_moi(
+                self.structures, self.atomnos, energies=energies,
+                mesh=self.device_mesh,
+            )
+            self.apply_mask(attr, mask)
+            if energies is not None:
+                energies = energies[mask]
+            if not mask.all():
+                self.log(
+                    f"Discarded {int((~mask).sum())} candidates for MOI "
+                    f"similarity ({int(mask.sum())} left)"
+                )
 
         if rmsd:
-            if len(self.structures) <= 1e5:
-                mask = prune_by_rmsd(
+            if len(self.structures) > 1e5:
+                self.log(
+                    f"RMSD pruning at {len(self.structures)} structures "
+                    "(reference CPU ceiling of 1e5 does not apply)"
+                )
+            mask = prune_by_rmsd(
+                self.structures, self.atomnos, rmsd_thr=self.options.rmsd,
+                energies=energies, mesh=self.device_mesh,
+            )
+            self.apply_mask(attr, mask)
+            if energies is not None:
+                energies = energies[mask]
+            if not mask.all():
+                self.log(
+                    f"Discarded {int((~mask).sum())} candidates for RMSD "
+                    f"similarity ({int(mask.sum())} left)"
+                )
+            if getattr(self, "embed_graph", None) is not None:
+                if len(self.structures) > 1e3:
+                    self.log(
+                        f"Symmetry-corrected RMSD pruning at "
+                        f"{len(self.structures)} structures (reference CPU "
+                        "ceiling of 1e3 does not apply; energy-gated)"
+                    )
+                mask = prune_by_rmsd_rot_corr(
                     self.structures, self.atomnos, rmsd_thr=self.options.rmsd,
                     energies=energies, mesh=self.device_mesh,
                 )
                 self.apply_mask(attr, mask)
-                if energies is not None:
-                    energies = energies[mask]
                 if not mask.all():
                     self.log(
-                        f"Discarded {int((~mask).sum())} candidates for RMSD "
-                        f"similarity ({int(mask.sum())} left)"
+                        f"Discarded {int((~mask).sum())} candidates for "
+                        f"symmetry-corrected RMSD similarity ({int(mask.sum())} left)"
                     )
-                if len(self.structures) <= 1e3 and getattr(self, "embed_graph", None) is not None:
-                    mask = prune_by_rmsd_rot_corr(
-                        self.structures, self.atomnos, rmsd_thr=self.options.rmsd,
-                        energies=energies, mesh=self.device_mesh,
-                    )
-                    self.apply_mask(attr, mask)
-                    if not mask.all():
-                        self.log(
-                            f"Discarded {int((~mask).sum())} candidates for "
-                            f"symmetry-corrected RMSD similarity ({int(mask.sum())} left)"
-                        )
-                elif getattr(self, "embed_graph", None) is not None:
-                    self.log("Skipped rotationally-corrected RMSD pruning (>1k structures)")
-            else:
-                self.log("Skipped RMSD pruning (>100k structures)")
 
         if verbose and len(self.structures) == before:
             self.log("All structures passed the similarity check.")

@@ -186,28 +186,40 @@ def _rmsd_maxdev_block(
     thr=None,
     use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    if use_pallas and use_maxdev:
+        # fused VMEM tile emitting rmsd AND the optimal-rotation quaternion:
+        # the (K, L, 3, 3) correlation tensor never reaches HBM and the
+        # max-deviation recovery below needs no recompute (VERDICT r2 #5)
+        from firecode_tpu.ops.algebra import quaternion_to_matrix
+        from firecode_tpu.ops.pallas_qcp import pallas_rmsd_quat_tile
+
+        rmsd, quat = pallas_rmsd_quat_tile(ac, ga, bc, gb, wsum, thr=thr)
+
+        def compute_q(_):
+            rot = jnp.swapaxes(quaternion_to_matrix(quat), -1, -2)
+            return _maxdev_from_rotation(ac, bc, rot)
+
+        if thr is not None:
+            any_close = jnp.any(rmsd < thr)
+            maxdev = lax.cond(
+                any_close, compute_q, lambda _: jnp.zeros_like(rmsd), operand=None
+            )
+        else:
+            maxdev = compute_q(None)
+        return rmsd, maxdev
     if use_pallas:
-        # fused VMEM tile: the (K, L, 3, 3) correlation tensor never reaches
-        # HBM; rotation recovery for the max-deviation criterion (rare after
-        # the MOI stage) lazily recomputes s/lam below
+        # rmsd-only: the single-output tile kernel
         from firecode_tpu.ops.pallas_qcp import pallas_rmsd_tile
 
-        rmsd = pallas_rmsd_tile(ac, ga, bc, gb, wsum)
-        s = lam = None
-    else:
-        s = _pairwise_correlation(ac, bc)
-        lam = _qcp_lambda_max(s, ga[:, None], gb[None, :])
-        rmsd = _rmsd_from_lambda(ga[:, None], gb[None, :], lam, wsum)
+        return pallas_rmsd_tile(ac, ga, bc, gb, wsum), None
+    s = _pairwise_correlation(ac, bc)
+    lam = _qcp_lambda_max(s, ga[:, None], gb[None, :])
+    rmsd = _rmsd_from_lambda(ga[:, None], gb[None, :], lam, wsum)
     if not use_maxdev:
         return rmsd, None
 
     def compute(_):
-        if use_pallas:
-            s_ = _pairwise_correlation(ac, bc)
-            lam_ = _qcp_lambda_max(s_, ga[:, None], gb[None, :])
-        else:
-            s_, lam_ = s, lam
-        rot = qcp_rotation(s_, lam_)  # [K, L, 3, 3]
+        rot = qcp_rotation(s, lam)  # [K, L, 3, 3]
         return _maxdev_from_rotation(ac, bc, rot)
 
     if thr is not None:
@@ -267,22 +279,20 @@ def _prune_rmsd_device(
 
 
 def pallas_default(use_maxdev: bool = False) -> bool:
-    """Production default for the fused Pallas RMSD tile.
+    """Production default for the fused Pallas RMSD tiles.
 
-    On for rmsd-only screens on real TPU backends — measured 3.2x over the
-    jnp path at 8192^2 pairs (the correlation tensor never leaves VMEM) and
-    ~even at the cascade's 1024 block. Off when the max-deviation criterion
-    is requested: maxdev needs the per-pair rotation, which the tile kernel
-    does not emit, so close tiles would recompute their correlations — the
-    measured full-cascade A/B (100k conformers, v5e) is 0.76 s jnp vs 0.82 s
-    pallas there. Off outside TPU (interpret mode is far slower than jnp).
-    Override with FIRECODE_TPU_PALLAS=1/0."""
+    On for all RMSD screens on real TPU backends. rmsd-only uses the
+    single-output tile kernel (measured 3.2x over the jnp path at 8192^2
+    pairs — the correlation tensor never leaves VMEM); the max-deviation
+    criterion uses the quaternion-emitting kernel, so rotation recovery for
+    close tiles needs no correlation recompute. Off outside TPU (interpret
+    mode is far slower than jnp). Override with FIRECODE_TPU_PALLAS=1/0."""
     import os
 
     env = os.environ.get("FIRECODE_TPU_PALLAS")
     if env is not None:
         return env.strip().lower() not in ("0", "false", "off", "")
-    return jax.default_backend() == "tpu" and not use_maxdev
+    return jax.default_backend() == "tpu"
 
 
 def prune_by_rmsd(
@@ -346,10 +356,13 @@ def prune_by_rmsd(
 # --------------------------------------------------------------------------
 
 
-def _make_rmsd_rot_corr_sim(thr, max_dE, use_maxdev: bool, wsum, perms: jnp.ndarray) -> SimFn:
+def _make_rmsd_rot_corr_sim(
+    thr, max_dE, use_maxdev: bool, wsum, perms: jnp.ndarray, use_pallas: bool = False
+) -> SimFn:
     def sim_fn(row: dict, col: dict) -> jnp.ndarray:
         rmsd, maxdev = _rmsd_maxdev_block(
-            row["c"], row["g"], col["c"], col["g"], wsum, use_maxdev, thr=thr
+            row["c"], row["g"], col["c"], col["g"], wsum, use_maxdev, thr=thr,
+            use_pallas=use_pallas,
         )
         sim = rmsd < thr
         if maxdev is not None:
@@ -358,7 +371,8 @@ def _make_rmsd_rot_corr_sim(thr, max_dE, use_maxdev: bool, wsum, perms: jnp.ndar
             # permuting centered coords is valid: centroids are perm-invariant
             bp = col["c"][:, perms[p], :]
             rmsd_p, maxdev_p = _rmsd_maxdev_block(
-                row["c"], row["g"], bp, col["g"], wsum, use_maxdev, thr=thr
+                row["c"], row["g"], bp, col["g"], wsum, use_maxdev, thr=thr,
+                use_pallas=use_pallas,
             )
             sim_p = rmsd_p < thr
             if maxdev_p is not None:
@@ -369,9 +383,10 @@ def _make_rmsd_rot_corr_sim(thr, max_dE, use_maxdev: bool, wsum, perms: jnp.ndar
     return sim_fn
 
 
-@partial(jax.jit, static_argnames=("use_maxdev", "block", "has_energies"))
+@partial(jax.jit, static_argnames=("use_maxdev", "block", "has_energies", "use_pallas"))
 def _prune_rmsd_rot_corr_device(
-    coords, energies, perms, thr, max_dE, use_maxdev: bool, block: int, has_energies: bool
+    coords, energies, perms, thr, max_dE, use_maxdev: bool, block: int,
+    has_energies: bool, use_pallas: bool = False,
 ) -> jnp.ndarray:
     b = coords.shape[0]
     centered, g, wsum = center_coords(coords)
@@ -379,7 +394,7 @@ def _prune_rmsd_rot_corr_device(
     if has_energies:
         feats["energies"] = energies
     feats, valid, _ = _pad_block(feats, b, block)
-    sim_fn = _make_rmsd_rot_corr_sim(thr, max_dE, use_maxdev, wsum, perms)
+    sim_fn = _make_rmsd_rot_corr_sim(thr, max_dE, use_maxdev, wsum, perms, use_pallas)
     return _blockwise_greedy(feats, valid, sim_fn, block)[:b]
 
 
@@ -394,6 +409,7 @@ def prune_by_rmsd_rot_corr(
     block: int = DEFAULT_BLOCK,
     max_perms: int = 60,
     mesh=None,
+    use_pallas: bool | None = None,
 ) -> np.ndarray:
     """RMSD prune where similarity is additionally checked under rotameric
     atom permutations (methyl/tBu/phenyl top rotations).
@@ -442,6 +458,7 @@ def prune_by_rmsd_rot_corr(
         use_maxdev,
         block,
         has_energies,
+        pallas_default(use_maxdev) if use_pallas is None else use_pallas,
     )
     return np.asarray(keep)
 
