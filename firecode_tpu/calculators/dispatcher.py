@@ -19,7 +19,8 @@ from firecode_tpu.calculators.forcefield import LiteFF
 from firecode_tpu.errors import MissingExternalError
 
 KNOWN_CALCULATORS = (
-    "LITEFF", "LITEFF-R", "MLIP", "XTB", "TBLITE", "ORCA", "AIMNET2", "UMA"
+    "GFNFF", "LITEFF", "LITEFF-R", "MLIP", "XTB", "TBLITE", "ORCA",
+    "AIMNET2", "UMA",
 )
 
 
@@ -43,6 +44,15 @@ class Dispatcher:
         solvent: str | None = None,
     ) -> Calculator:
         """Build a batched calculator for the given system."""
+        if self.calculator == "GFNFF":
+            from firecode_tpu.calculators.gfnff import GFNFF
+
+            calc = GFNFF(atomnos, coords, graph=graph, charge=charge)
+            if solvent is not None:
+                from firecode_tpu.calculators.solvation import solvate
+
+                calc = solvate(calc, atomnos, solvent, total_charge=charge)
+            return calc
         if self.calculator == "LITEFF":
             calc = LiteFF(atomnos, coords, graph=graph, charge=charge)
             if solvent is not None:

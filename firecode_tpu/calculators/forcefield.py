@@ -325,6 +325,139 @@ def ff_energy_pbc(coords: jnp.ndarray, top: FFTopology, box) -> jnp.ndarray:
     return e
 
 
+def pad_systems(
+    systems: list[tuple[np.ndarray, np.ndarray]], n_pad: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad molecules of different sizes into one bucketed device batch.
+
+    systems: list of (atomnos, coords[N_s, 3]). Returns (atomnos [S, N],
+    coords [S, N, 3], atom_mask bool[S, N]) with N = max size (or n_pad).
+    Padded slots get Z=0 (massless) and DISTINCT far-away dummy positions so
+    no geometric term (dihedrals!) ever sees coincident points — padded
+    atoms carry no interactions in the stacked topology, so the dummies are
+    energetically invisible (SURVEY section 7 hard-part 5)."""
+    sizes = [len(z) for z, _ in systems]
+    n = n_pad or max(sizes)
+    s = len(systems)
+    atomnos = np.zeros((s, n), dtype=np.int32)
+    coords = np.zeros((s, n, 3))
+    mask = np.zeros((s, n), dtype=bool)
+    for k, (z, x) in enumerate(systems):
+        m = len(z)
+        atomnos[k, :m] = z
+        coords[k, :m] = x
+        mask[k, :m] = True
+        # spread dummies on a distant line, distinct per slot
+        for j in range(m, n):
+            coords[k, j] = (1000.0 + 5.0 * j, 1000.0 + 5.0 * k, 1000.0)
+    return atomnos, coords, mask
+
+
+def build_stacked_topology(
+    systems: list[tuple[np.ndarray, np.ndarray]],
+    charges: list[int] | None = None,
+    n_pad: int | None = None,
+) -> FFTopology:
+    """Per-molecule LiteFF topologies padded to common shapes and stacked
+    with a leading system axis [S, ...], for one batched optimization over
+    DIFFERENT molecules (VERDICT r2 item 7)."""
+    sizes = [len(z) for z, _ in systems]
+    n = n_pad or max(sizes)
+    charges = charges or [0] * len(systems)
+    tops = [
+        build_ff_topology(z, x, charge=c)
+        for (z, x), c in zip(systems, charges)
+    ]
+
+    def counts(attr):
+        return max(int(getattr(t, attr).shape[0]) for t in tops)
+
+    n_b, n_a, n_t = counts("bonds"), counts("angles"), counts("torsions")
+
+    def pad_terms(t: FFTopology) -> FFTopology:
+        def pad_i(a, rows, safe):
+            a = np.asarray(a)
+            out = np.tile(np.asarray(safe, np.int32), (rows, 1))
+            out[: len(a)] = a
+            return out
+
+        def pad_f(a, rows, fill=0.0):
+            a = np.asarray(a)
+            out = np.full(rows, fill)
+            out[: len(a)] = a
+            return out
+
+        def pad_nn(a):
+            a = np.asarray(a)
+            out = np.zeros((n, n))
+            out[: a.shape[0], : a.shape[1]] = a
+            return out
+
+        def pad_n(a, fill=0.0):
+            a = np.asarray(a)
+            out = np.full(n, fill)
+            out[: len(a)] = a
+            return out
+
+        # padded term slots carry ZERO force constants; their indices point
+        # at distinct real/dummy slots so no degenerate geometry (NaN grads)
+        # can arise — pad_systems guarantees distinct positions everywhere
+        return FFTopology(
+            bonds=jnp.asarray(pad_i(t.bonds, n_b, [0, 1])),
+            bond_r0=jnp.asarray(pad_f(t.bond_r0, n_b, fill=1.0)),
+            bond_k=jnp.asarray(pad_f(t.bond_k, n_b)),
+            angles=jnp.asarray(pad_i(t.angles, n_a, [0, 1, 2])),
+            angle_cos0=jnp.asarray(pad_f(t.angle_cos0, n_a)),
+            angle_k=jnp.asarray(pad_f(t.angle_k, n_a)),
+            torsions=jnp.asarray(pad_i(t.torsions, n_t, [0, 1, 2, 3])),
+            torsion_n=jnp.asarray(pad_f(t.torsion_n, n_t, fill=1.0)),
+            torsion_v=jnp.asarray(pad_f(t.torsion_v, n_t)),
+            torsion_sign=jnp.asarray(pad_f(t.torsion_sign, n_t, fill=1.0)),
+            nb_scale=jnp.asarray(pad_nn(t.nb_scale)),
+            lj_x=jnp.asarray(pad_nn(t.lj_x)),
+            lj_d=jnp.asarray(pad_nn(t.lj_d)),
+            charges=jnp.asarray(pad_n(t.charges)),
+        )
+
+    padded = [pad_terms(t) for t in tops]
+    return FFTopology(*[
+        jnp.stack([getattr(t, f) for t in padded]) for f in FFTopology._fields
+    ])
+
+
+class StackedLiteFF(Calculator):
+    """LiteFF over a batch of DIFFERENT molecules: lane b of a [S, N, 3]
+    coordinate batch is evaluated with lane b's own padded topology.
+
+    Use with calculators.forcefield.pad_systems + opt.fire.optimize_batch's
+    atom_mask to run one device program over mixed-size inputs (the
+    reference processes multiple input files serially)."""
+
+    def __init__(self, systems, charges=None, n_pad: int | None = None):
+        self.topology = build_stacked_topology(systems, charges, n_pad)
+        top = self.topology
+        super().__init__(lambda c: ff_energy(c, top), name="liteff-stacked")
+
+    def energy(self, coords: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        top = self.topology
+        return jax.vmap(ff_energy)(jnp.asarray(coords), top)
+
+    def energy_and_forces(self, coords: jnp.ndarray):
+        import jax
+
+        top = self.topology
+        e, g = jax.vmap(jax.value_and_grad(ff_energy))(jnp.asarray(coords), top)
+        return e, -g
+
+    def energy_one(self, coords: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError(
+            "StackedLiteFF is inherently batched: lane k uses molecule k's "
+            "topology — evaluate [S, N, 3] batches via .energy()"
+        )
+
+
 class LiteFF(Calculator):
     """Calculator facade over ff_energy with a fixed topology."""
 

@@ -1,0 +1,58 @@
+"""Native GFN-FF: a generated force field in pure JAX (CALC=GFNFF).
+
+Public surface:
+- GFNFF(atomnos, coords, charge=0) -> Calculator (batched energies/forces)
+- build_gfnff_topology / gfnff_energy for direct use
+- GlobalParams / load_fitted for the fitted global scalars
+
+See params.py for provenance (functional forms from Spicher & Grimme 2020;
+parameters re-derived in-repo and validated against the embedded literature
+fixtures in tests/test_accuracy.py + ACCURACY.json).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from firecode_tpu.calculators.base import Calculator
+from firecode_tpu.calculators.gfnff.energy import gfnff_charges, gfnff_energy
+from firecode_tpu.calculators.gfnff.params import GlobalParams, load_fitted
+from firecode_tpu.calculators.gfnff.topology import (
+    GFNFFTopology,
+    build_gfnff_topology,
+)
+
+__all__ = [
+    "GFNFF",
+    "GFNFFTopology",
+    "GlobalParams",
+    "build_gfnff_topology",
+    "gfnff_charges",
+    "gfnff_energy",
+    "load_fitted",
+]
+
+
+class GFNFF(Calculator):
+    """Calculator facade over the generated GFN-FF topology."""
+
+    def __init__(
+        self,
+        atomnos: np.ndarray,
+        coords: np.ndarray,
+        graph=None,
+        charge: int = 0,
+        params: GlobalParams | None = None,
+    ):
+        self.topology = build_gfnff_topology(
+            atomnos, coords, graph=graph, charge=charge
+        )
+        self.params = (params or load_fitted()).asdict()
+        top, p = self.topology, self.params
+        super().__init__(lambda c: gfnff_energy(c, top, p), name="gfnff")
+
+    def charges(self, coords) -> np.ndarray:
+        """Runtime EEQ charges for one structure [N, 3]."""
+        import jax.numpy as jnp
+
+        return np.asarray(gfnff_charges(jnp.asarray(coords), self.topology))

@@ -1,0 +1,142 @@
+"""Fixture-accuracy report for the native calculators -> ACCURACY.json.
+
+Evaluates every literature target in fixtures.TARGETS with the committed
+GFN-FF fit: relaxed geometries (batched FIRE), rigid torsion ladders, and
+dimer binding energies, plus the force residuals at the experimental
+geometries. Writes ACCURACY.json at the repo root (the artifact VERDICT r2
+items 1/3/9 ask for) and prints a human-readable table.
+
+Run:  python -m firecode_tpu.calculators.gfnff.accuracy [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _angle(x, i, c, j) -> float:
+    v1, v2 = x[i] - x[c], x[j] - x[c]
+    cos = v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    return float(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+
+
+def compute_report() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.gfnff import GFNFF, fixtures as fx
+    from firecode_tpu.calculators.gfnff.energy import gfnff_energy
+    from firecode_tpu.calculators.gfnff.fit import _build_cases
+    from firecode_tpu.calculators.gfnff.params import load_fitted
+    from firecode_tpu.opt.fire import optimize_batch
+
+    p = load_fitted().asdict()
+    cases = _build_cases()
+    report: dict = {"calculator": "GFNFF", "targets": {}}
+
+    def rec(name, value):
+        tgt, tol = fx.TARGETS[name]
+        report["targets"][name] = {
+            "value": round(float(value), 3),
+            "target": tgt,
+            "tol": tol,
+            "ok": bool(abs(float(value) - tgt) <= tol),
+        }
+
+    # ---- force residuals at experimental geometries ----
+    fres = {}
+    for name, c in cases.items():
+        g = jax.grad(gfnff_energy)(c["x"], c["top"], p)
+        fres[name] = round(float(jnp.sqrt(jnp.mean(jnp.sum(g * g, -1)))), 2)
+    report["force_rms_at_exp_geometry_kcal_mol_A"] = fres
+
+    # ---- torsion ladders (rigid, from reference geometries) ----
+    def scan_e(name):
+        c = cases[name]
+        return np.asarray(
+            jax.vmap(lambda x: gfnff_energy(x, c["top"], p))(c["scan"])
+        )
+
+    ee = scan_e("ethane")
+    rec("ethane_barrier", ee[1] - ee[0])
+    ev = scan_e("ethylene")
+    rec("ethylene_twist", ev[1] - ev[0])
+    eb = scan_e("butane")
+    rec("butane_gauche", eb[2] - eb[0])
+    rec("butane_syn_barrier", eb[3] - eb[0])
+
+    # ---- dimer binding ----
+    for name, key in (
+        ("methane_dimer", "methane_dimer_de"),
+        ("water_dimer", "water_dimer_de"),
+        ("formic_dimer", "formic_dimer_de"),
+    ):
+        if key not in fx.TARGETS:
+            continue
+        c = cases[name]
+        bound = float(gfnff_energy(c["x"], c["top"], p))
+        free = float(gfnff_energy(c["sep"], c["top"], p))
+        rec(key, free - bound)
+
+    # ---- relaxed geometries ----
+    def relax(zx, charge=0):
+        z, x = zx
+        calc = GFNFF(z, x, charge=charge)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.02, max_steps=4000)
+        return np.asarray(res.coords[0])
+
+    xw = relax(fx.water())
+    rec("water_oh", np.linalg.norm(xw[1] - xw[0]))
+    rec("water_hoh", _angle(xw, 1, 0, 2))
+    xe = relax(fx.ethane())
+    rec("ethane_cc", np.linalg.norm(xe[1] - xe[0]))
+    rec("ethane_ch", np.linalg.norm(xe[2] - xe[0]))
+    xv = relax(fx.ethylene())
+    rec("ethylene_cc", np.linalg.norm(xv[1] - xv[0]))
+    xf = relax(fx.formaldehyde())
+    rec("formaldehyde_co", np.linalg.norm(xf[1] - xf[0]))
+    xm = relax(fx.methanol())
+    rec("methanol_co", np.linalg.norm(xm[1] - xm[0]))
+    xa = relax(fx.ammonia())
+    rec("ammonia_nh", np.linalg.norm(xa[1] - xa[0]))
+    xd = relax(fx.water_dimer())
+    rec("water_dimer_oo", np.linalg.norm(xd[3] - xd[0]))
+
+    n_ok = sum(1 for t in report["targets"].values() if t["ok"])
+    report["n_targets"] = len(report["targets"])
+    report["n_within_tolerance"] = n_ok
+    return report
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+
+    report = compute_report()
+    for name, t in report["targets"].items():
+        mark = "ok " if t["ok"] else "FAIL"
+        print(
+            f"  [{mark}] {name:22s} {t['value']:9.3f}  "
+            f"(target {t['target']} +- {t['tol']})"
+        )
+    print(f"  {report['n_within_tolerance']}/{report['n_targets']} within tolerance")
+    if args.write:
+        path = os.path.join(os.path.dirname(__file__), "..", "..", "..", "ACCURACY.json")
+        path = os.path.abspath(path)
+        with open(path, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

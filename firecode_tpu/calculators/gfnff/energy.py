@@ -1,0 +1,259 @@
+"""GFN-FF energy terms as pure batched JAX functions.
+
+E = E_bond + E_angle + E_torsion + E_oop + E_rep + E_ES(EEQ) + E_disp
+    + E_HB + E_XB
+
+following the term structure of the published GFN-FF (Spicher & Grimme,
+Angew. Chem. Int. Ed. 2020, 59, 15665) with two documented deviations:
+
+- the bonded stretch is a Morse well (identical equilibrium/curvature/
+  dissociation behaviour to the paper's Gaussian-well-plus-bonded-repulsion
+  pair, but with the inner wall built in — one term instead of two);
+- the three-body ATM dispersion term is omitted (sub-kcal for the organic
+  systems this framework targets; O(N^3) on device).
+
+The electrostatics is a *variational* EEQ: atomic charges re-equilibrate at
+every geometry through a (N+1)x(N+1) KKT solve (erf-damped kernel,
+CN-corrected electronegativities), and autodiff through the solve yields
+exact analytic forces — the same property the Fortran implementation gets
+from the variational principle.
+
+The energy is differentiable BOTH in the coordinates (forces/Hessians) and
+in the global parameters `p` (a dict mirroring params.GlobalParams) — the
+topology carries only structural data. fit.py exploits the latter to train
+the global scalars against the embedded literature fixtures.
+
+Reference capability: `xtb --gfnff` driven by
+/root/reference/firecode/calculators/xtb.py:39-283.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from firecode_tpu.calculators.gfnff.params import EV_TO_KCAL
+
+COULOMB = 332.0637  # kcal/mol * A / e^2
+_CN_K = 7.5  # CN error-function steepness (D4 flavour)
+
+
+# --------------------------------------------------------------------------
+# coordination number + EEQ charges
+# --------------------------------------------------------------------------
+
+
+def coordination_numbers(coords: jnp.ndarray, rcov: jnp.ndarray) -> jnp.ndarray:
+    """Smooth CN per atom: sum of erf counting functions (D4 flavour)."""
+    n = coords.shape[0]
+    diff = coords[:, None, :] - coords[None, :, :]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    r0 = rcov[:, None] + rcov[None, :]
+    cnt = 0.5 * (1.0 + jax.scipy.special.erf(-_CN_K * (r / r0 - 1.0)))
+    cnt = jnp.where(jnp.eye(n, dtype=bool), 0.0, cnt)
+    return jnp.sum(cnt, axis=1)
+
+
+def _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge):
+    """Build the EEQ KKT matrix/rhs for one structure (kcal/mol units)."""
+    n = coords.shape[0]
+    diff = coords[:, None, :] - coords[None, :, :]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    gamma = jnp.sqrt(alpha[:, None] ** 2 + alpha[None, :] ** 2)
+    j_off = COULOMB * jax.scipy.special.erf(r / gamma) / r
+    diag = eta * EV_TO_KCAL + COULOMB * jnp.sqrt(2.0 / jnp.pi) / alpha
+    a = jnp.where(jnp.eye(n, dtype=bool), 0.0, j_off) + jnp.diag(diag)
+    cn = coordination_numbers(coords, rcov)
+    chi_eff = (chi + cnf * jnp.sqrt(cn + 1e-12)) * EV_TO_KCAL
+    ones = jnp.ones((n, 1), dtype=coords.dtype)
+    kkt = jnp.block([[a, ones], [ones.T, jnp.zeros((1, 1), coords.dtype)]])
+    rhs = jnp.concatenate(
+        [-chi_eff, jnp.asarray([charge], dtype=coords.dtype)]
+    )
+    return kkt, rhs, a, chi_eff
+
+
+def eeq_energy_and_charges(coords, chi, eta, alpha, cnf, rcov, charge):
+    """Variational EEQ electrostatic energy (kcal/mol) + charges [N]."""
+    n = coords.shape[0]
+    kkt, rhs, a, chi_eff = _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge)
+    q = jnp.linalg.solve(kkt, rhs)[:n]
+    e = jnp.sum(chi_eff * q) + 0.5 * q @ (a @ q)
+    return e, q
+
+
+def eeq_charges_np(coords, atomnos, charge, chi, eta, alpha, cnf, rcov) -> np.ndarray:
+    """Host (setup-time) EEQ charges — used for HB strength generation."""
+    del atomnos
+    _, q = eeq_energy_and_charges(
+        jnp.asarray(coords), jnp.asarray(chi), jnp.asarray(eta),
+        jnp.asarray(alpha), jnp.asarray(cnf), jnp.asarray(rcov), float(charge),
+    )
+    return np.asarray(q)
+
+
+# --------------------------------------------------------------------------
+# total energy
+# --------------------------------------------------------------------------
+
+
+def bond_params(top, p):
+    """(r0, depth, steepness) per bond from structural data + globals."""
+    radii = jnp.asarray(p["bond_radii"])
+    rs = radii[top.bonds_z[:, 0]] + radii[top.bonds_z[:, 1]]
+    # additive Pauling-style EN shortening (|dEN|^1.5): a multiplicative
+    # form cannot satisfy C-C/C-H/O-H/C-O simultaneously with shared radii
+    r0 = (rs - p["ken"] * top.bond_den ** 1.5) * (1.0 - p["kr_pi"] * top.bond_bo)
+    d = p["kb_s"] * top.bond_f * (1.0 + p["kb_pi"] * top.bond_bo)
+    a = p["kb_a"] / r0
+    return r0, d, a
+
+
+def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
+    """Total GFN-FF energy of one structure [N, 3] (kcal/mol).
+
+    p: dict of global scalars (params.GlobalParams.asdict()); may be traced
+    (the fit differentiates the energy with respect to it).
+    """
+    dt = coords.dtype
+    e = jnp.asarray(0.0, dtype=dt)
+
+    def dist(idx_a, idx_b):
+        d = coords[idx_a] - coords[idx_b]
+        return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+
+    def bond_damp(r, r0):
+        # smoothly releases angle/torsion strain as a bond breaks
+        return 1.0 / (1.0 + jnp.exp(p["kt_damp"] * (r / (1.35 * r0) - 1.0) * 8.0))
+
+    bond_r0, bond_d, bond_a = bond_params(top, p)
+
+    # ---- bonds: Morse ----
+    if top.bonds.shape[0]:
+        r = dist(top.bonds[:, 0], top.bonds[:, 1])
+        x = jnp.exp(-bond_a * (r - bond_r0))
+        e = e + jnp.sum(bond_d * (x * x - 2.0 * x))
+
+    # ---- angles ----
+    if top.angles.shape[0]:
+        ai = coords[top.angles[:, 0]]
+        ac = coords[top.angles[:, 1]]
+        aj = coords[top.angles[:, 2]]
+        v1 = ai - ac
+        v2 = aj - ac
+        r1 = jnp.sqrt(jnp.sum(v1 * v1, axis=-1) + 1e-12)
+        r2 = jnp.sqrt(jnp.sum(v2 * v2, axis=-1) + 1e-12)
+        cosb = jnp.sum(v1 * v2, axis=-1) / (r1 * r2)
+        damp = bond_damp(r1, bond_r0[top.angle_bond[:, 0]]) * bond_damp(
+            r2, bond_r0[top.angle_bond[:, 1]]
+        )
+        k = jnp.where(top.angle_lin > 0.5, p["ka_lin"], p["ka_s"]) * top.angle_f
+        bent = (cosb - top.angle_cos0) ** 2
+        lin = 1.0 + cosb
+        e = e + jnp.sum(k * damp * jnp.where(top.angle_lin > 0.5, lin, bent))
+
+    # ---- torsions ----
+    if top.torsions.shape[0]:
+        phi = _dihedral_rad(coords, top.torsions)
+        rij = dist(top.torsions[:, 0], top.torsions[:, 1])
+        rjk = dist(top.torsions[:, 1], top.torsions[:, 2])
+        rkl = dist(top.torsions[:, 2], top.torsions[:, 3])
+        tdamp = (
+            bond_damp(rij, bond_r0[top.tors_bond[:, 0]])
+            * bond_damp(rjk, bond_r0[top.tors_bond[:, 1]])
+            * bond_damp(rkl, bond_r0[top.tors_bond[:, 2]])
+        )
+        k_total = jnp.where(
+            top.tors_n > 2.5,
+            p["kt_sp3"],
+            p["kt_conj"] + p["kt_pi"] * top.tors_bo * top.tors_bo,
+        )
+        k = k_total * top.tors_paths
+        # sp3 (n=3): 1 + cos(3 phi) -> staggered minima at 60/180/300;
+        # pi   (n=2): 1 - cos(2 phi) -> planar minima at 0/180
+        sign = jnp.where(top.tors_n > 2.5, 1.0, -1.0)
+        e = e + jnp.sum(k * tdamp * (1.0 + sign * jnp.cos(top.tors_n * phi)))
+
+    # ---- out-of-plane ----
+    if top.oop.shape[0]:
+        c = coords[top.oop[:, 0]]
+        p1 = coords[top.oop[:, 1]]
+        p2 = coords[top.oop[:, 2]]
+        p3 = coords[top.oop[:, 3]]
+        nrm = jnp.cross(p2 - p1, p3 - p1)
+        nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
+        h = jnp.sum((c - p1) * nrm, axis=-1)
+        e = e + jnp.sum(p["koop"] * h * h)
+
+    # ---- pairwise: repulsion + dispersion ----
+    diff = coords[:, None, :] - coords[None, :, :]
+    r2m = jnp.sum(diff * diff, axis=-1)
+    rm = jnp.sqrt(r2m + 1e-12)
+    rep_scale = p["krep_13"] * top.mask_13 + p["krep_nb"] * top.mask_nb
+    erep = (
+        p["krep"] * rep_scale * top.rep_z / rm * jnp.exp(-top.rep_a * rm**1.5)
+    )
+    disp_r0 = p["a1"] * top.rvdw_sum + p["a2"]
+    r6 = r2m * r2m * r2m
+    r0_6 = disp_r0**6
+    r0_8 = r0_6 * disp_r0 * disp_r0
+    edisp = -top.disp_mask * top.c6 * (
+        p["s6"] / (r6 + r0_6) + p["s8"] * disp_r0**2 / (r6 * r2m + r0_8)
+    )
+    e = e + 0.5 * jnp.sum(erep + edisp)
+
+    # ---- EEQ electrostatics ----
+    e_es, _q = eeq_energy_and_charges(
+        coords,
+        top.chi.astype(dt), top.eta.astype(dt), top.eeq_alpha.astype(dt),
+        top.cnf.astype(dt), top.rcov.astype(dt), top.charge,
+    )
+    e = e + p["es_scale"] * e_es
+
+    # ---- hydrogen bonds ----
+    if top.hb.shape[0]:
+        hd = coords[top.hb[:, 0]]
+        hh = coords[top.hb[:, 1]]
+        ha = coords[top.hb[:, 2]]
+        vhd = hd - hh
+        vha = ha - hh
+        rhd = jnp.sqrt(jnp.sum(vhd * vhd, axis=-1) + 1e-12)
+        rha = jnp.sqrt(jnp.sum(vha * vha, axis=-1) + 1e-12)
+        cos_dha = jnp.sum(vhd * vha, axis=-1) / (rhd * rha)
+        f_ang = ((1.0 - cos_dha) * 0.5) ** 4  # 1 at linear D-H...A, 0 at 0 deg
+        f_dist = jnp.exp(-p["khb_w"] * (rha - p["r0_hb"]) ** 2)
+        e = e - jnp.sum(p["khb"] * top.hb_f * f_ang * f_dist)
+
+    # ---- halogen bonds ----
+    if top.xb.shape[0]:
+        xc = coords[top.xb[:, 0]]
+        xx = coords[top.xb[:, 1]]
+        xa = coords[top.xb[:, 2]]
+        vxc = xc - xx
+        vxa = xa - xx
+        rxc = jnp.sqrt(jnp.sum(vxc * vxc, axis=-1) + 1e-12)
+        rxa = jnp.sqrt(jnp.sum(vxa * vxa, axis=-1) + 1e-12)
+        cos_cxa = jnp.sum(vxc * vxa, axis=-1) / (rxc * rxa)
+        fx_ang = ((1.0 - cos_cxa) * 0.5) ** 4  # sigma-hole directionality
+        fx_dist = jnp.exp(-p["khb_w"] * (rxa - p["r0_xb"]) ** 2)
+        e = e - jnp.sum(p["kxb"] * top.xb_f * fx_ang * fx_dist)
+
+    return e
+
+
+def _dihedral_rad(coords: jnp.ndarray, quads: jnp.ndarray) -> jnp.ndarray:
+    """Signed dihedral (radians) for index quadruplets [T, 4]."""
+    from firecode_tpu.ops.algebra import dihedral
+
+    return jnp.radians(dihedral(coords[quads]))
+
+
+def gfnff_charges(coords: jnp.ndarray, top) -> jnp.ndarray:
+    """Runtime EEQ charges for one structure (diagnostic surface)."""
+    _, q = eeq_energy_and_charges(
+        coords, top.chi.astype(coords.dtype), top.eta.astype(coords.dtype),
+        top.eeq_alpha.astype(coords.dtype), top.cnf.astype(coords.dtype),
+        top.rcov.astype(coords.dtype), top.charge,
+    )
+    return q

@@ -1,0 +1,393 @@
+"""GFN-FF host-side topology perception -> padded device tables.
+
+Mirrors the setup stage of the published GFN-FF (Spicher & Grimme 2020): a
+force field is *generated* for each system from its element composition,
+bond graph, and one input geometry — hybridization states, pi bond orders,
+equilibrium lengths/angles, torsion potentials, out-of-plane terms,
+repulsion/dispersion pair tables, EEQ charge-model parameters, and
+hydrogen-/halogen-bond donor-acceptor triplets.
+
+The topology holds only STRUCTURAL quantities (bond orders, radii sums, EN
+differences, path counts, element factors); everything that depends on the
+global scalars in params.GlobalParams is computed inside
+firecode_tpu.calculators.gfnff.energy at evaluation time. That keeps the
+total energy differentiable in the global parameters, which is what the
+in-repo fit (fit.py) trains against the embedded literature fixtures.
+
+Reference capability: the xtb binary's GFN-FF topology setup invoked by
+/root/reference/firecode/calculators/xtb.py:39-283 (CALC=GFNFF there).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from firecode_tpu.calculators.gfnff.params import (
+    BOND_F,
+    C6_FREE,
+    CHI,
+    EEQ_ALPHA,
+    EEQ_CNF,
+    EN_PAULING,
+    ETA,
+    REP_ALPHA,
+    REP_ZEFF,
+    VDW_RADII,
+)
+from firecode_tpu.graphs import graphize
+from firecode_tpu.pt import COVALENT_RADII
+
+SP3, SP2, SP = 0, 1, 2
+
+# elements acting as HB donors (carrying the H) and acceptors
+_HB_DONOR_Z = (7, 8)  # N, O
+_HB_ACCEPTOR_Z = (7, 8, 9)  # N, O, F
+_XB_Z = (17, 35, 53)  # Cl, Br, I
+_XB_ACCEPTOR_Z = (7, 8)
+
+# acceptor/donor element strength factors for the HB correction
+_HB_ACC_F = {7: 0.9, 8: 1.0, 9: 0.55}
+_HB_DON_F = {7: 0.80, 8: 1.0}
+_XB_F = {17: 0.55, 35: 1.0, 53: 1.45}
+
+
+class GFNFFTopology(NamedTuple):
+    atomnos: jnp.ndarray  # i32[N]
+    charge: float
+    # EEQ (runtime charges)
+    chi: jnp.ndarray  # f[N] eV (CN-corrected at runtime)
+    eta: jnp.ndarray  # f[N] eV
+    eeq_alpha: jnp.ndarray  # f[N] A
+    cnf: jnp.ndarray  # f[N] eV
+    rcov: jnp.ndarray  # f[N] A (for the runtime CN)
+    # bonds (Morse; r0/depth/width derived from these in the energy)
+    bonds: jnp.ndarray  # i32[B, 2]
+    bonds_z: jnp.ndarray  # i32[B, 2] element numbers (bond-radius lookup)
+    bond_rs: jnp.ndarray  # f[B] covalent radii sum (diagnostic)
+    bond_den: jnp.ndarray  # f[B] |EN_i - EN_j|
+    bond_bo: jnp.ndarray  # f[B] pi bond order [0, 1.5]
+    bond_f: jnp.ndarray  # f[B] sqrt(f_i * f_j) element strength
+    # angles
+    angles: jnp.ndarray  # i32[A, 3] i-center-j
+    angle_cos0: jnp.ndarray  # f[A]
+    angle_lin: jnp.ndarray  # f[A] 1.0 for linear centers
+    angle_f: jnp.ndarray  # f[A] element strength factor
+    angle_bond: jnp.ndarray  # i32[A, 2] indices into bonds for damping
+    # torsions
+    torsions: jnp.ndarray  # i32[T, 4]
+    tors_n: jnp.ndarray  # f[T] periodicity (3 sp3-like / 2 pi-like)
+    tors_bo: jnp.ndarray  # f[T] central-bond pi order
+    tors_paths: jnp.ndarray  # f[T] 1 / n_paths
+    tors_bond: jnp.ndarray  # i32[T, 3] bond indices (ij, jk, kl) for damping
+    # out-of-plane (sp2 planarity)
+    oop: jnp.ndarray  # i32[O, 4] center + 3 neighbors
+    # pairwise tables
+    mask_13: jnp.ndarray  # f[N, N] 1 for 1-3 pairs
+    mask_nb: jnp.ndarray  # f[N, N] 1 for >=1-4 / nonbonded pairs
+    rep_z: jnp.ndarray  # f[N, N] ZA*ZB
+    rep_a: jnp.ndarray  # f[N, N] sqrt(aA*aB)
+    c6: jnp.ndarray  # f[N, N] pair C6 (kcal/mol A^6)
+    rvdw_sum: jnp.ndarray  # f[N, N] vdW radii sums (BJ radius input)
+    disp_mask: jnp.ndarray  # f[N, N] 1 off-diagonal
+    # HB / XB triplets
+    hb: jnp.ndarray  # i32[H, 3] donor, H, acceptor
+    hb_f: jnp.ndarray  # f[H] element/charge strength factor
+    xb: jnp.ndarray  # i32[X, 3] C, X, acceptor
+    xb_f: jnp.ndarray  # f[X]
+    q_topo: jnp.ndarray  # f[N] setup-geometry EEQ charges (diagnostic/HB)
+
+
+def _hybridization(graph, atomnos, coords) -> np.ndarray:
+    """Per-atom hybridization (SP3/SP2/SP) from degree + local geometry."""
+    n = len(atomnos)
+    hyb = np.full(n, SP3, dtype=np.int32)
+
+    def mean_angle(c):
+        nbrs = sorted(graph.neighbors(c))
+        if len(nbrs) < 2:
+            return 109.47
+        angs = []
+        for a in range(len(nbrs)):
+            for b in range(a + 1, len(nbrs)):
+                v1 = coords[nbrs[a]] - coords[c]
+                v2 = coords[nbrs[b]] - coords[c]
+                cos = np.dot(v1, v2) / (np.linalg.norm(v1) * np.linalg.norm(v2) + 1e-12)
+                angs.append(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+        return float(np.mean(angs))
+
+    for i in range(n):
+        z = int(atomnos[i])
+        deg = graph.degree[i]
+        if z == 6:
+            if deg >= 4:
+                hyb[i] = SP3
+            elif deg == 3:
+                hyb[i] = SP2
+            elif deg == 2:
+                hyb[i] = SP if mean_angle(i) > 155.0 else SP2
+            else:
+                hyb[i] = SP
+        elif z == 7:
+            if deg >= 4:
+                hyb[i] = SP3
+            elif deg == 3:
+                # planar (amide/aniline/aromatic) vs pyramidal amine
+                hyb[i] = SP2 if 3 * mean_angle(i) > 352.0 else SP3
+            elif deg == 2:
+                hyb[i] = SP if mean_angle(i) > 155.0 else SP2
+            else:
+                hyb[i] = SP  # nitrile
+        elif z in (8, 16):
+            if deg >= 2:
+                hyb[i] = SP3
+            elif deg == 1:
+                j = next(iter(graph.neighbors(i)))
+                r = float(np.linalg.norm(coords[i] - coords[j]))
+                rs = float(COVALENT_RADII[z] + COVALENT_RADII[atomnos[j]])
+                hyb[i] = SP2 if r < 0.93 * rs else SP3  # carbonyl-like
+            else:
+                hyb[i] = SP3
+        elif z in (5, 13):
+            hyb[i] = SP2 if deg <= 3 else SP3
+        else:
+            hyb[i] = SP3
+    return hyb
+
+
+def _pi_bond_order(i, j, atomnos, coords, hyb) -> float:
+    """Smooth geometric pi bond order in [0, 1.5] from bond contraction.
+
+    Only non-sp3 pairs can carry pi density; a bond at the single-bond
+    radii sum has BO_pi 0, at 14% contraction 1 (double), clipped at 1.5
+    (triple). Perceived once from the setup geometry."""
+    if hyb[i] == SP3 or hyb[j] == SP3:
+        return 0.0
+    rs = float(COVALENT_RADII[atomnos[i]] + COVALENT_RADII[atomnos[j]])
+    rd = 0.86 * rs
+    r = float(np.linalg.norm(coords[i] - coords[j]))
+    return float(np.clip((rs - r) / (rs - rd), 0.0, 1.5))
+
+
+def _angle_cos0(z: int, hyb_c: int) -> tuple[float, float]:
+    """(cos theta0, is_linear) for an angle centered on element z."""
+    if hyb_c == SP:
+        return -1.0, 1.0
+    if hyb_c == SP2:
+        return float(np.cos(np.radians(120.0))), 0.0
+    if z == 8:
+        return float(np.cos(np.radians(104.5))), 0.0
+    if z == 16:
+        return float(np.cos(np.radians(98.0))), 0.0
+    if z == 7:
+        return float(np.cos(np.radians(107.0))), 0.0
+    if z == 15:
+        return float(np.cos(np.radians(96.0))), 0.0
+    return float(np.cos(np.radians(109.47))), 0.0
+
+
+def build_gfnff_topology(
+    atomnos: np.ndarray,
+    coords: np.ndarray,
+    graph=None,
+    charge: int = 0,
+) -> GFNFFTopology:
+    """Generate the (structural) force-field topology for one system."""
+    atomnos = np.asarray(atomnos)
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(atomnos)
+    if graph is None:
+        graph = graphize(atomnos, coords)
+
+    hyb = _hybridization(graph, atomnos, coords)
+    en = EN_PAULING[atomnos]
+
+    # ---------------- bonds ----------------
+    bonds = sorted(tuple(sorted(e)) for e in graph.edges)
+    bond_index = {b: k for k, b in enumerate(bonds)}
+    bo_pi = {b: _pi_bond_order(b[0], b[1], atomnos, coords, hyb) for b in bonds}
+    bond_rs = [float(COVALENT_RADII[atomnos[i]] + COVALENT_RADII[atomnos[j]]) for i, j in bonds]
+    bond_den = [abs(float(en[i] - en[j])) for i, j in bonds]
+    bond_bo = [bo_pi[b] for b in bonds]
+    bond_f = [
+        float(np.sqrt(BOND_F[atomnos[i]] * BOND_F[atomnos[j]])) for i, j in bonds
+    ]
+
+    # ---------------- angles ----------------
+    angles, a_cos0, a_lin, a_f, a_bond = [], [], [], [], []
+    for c in graph.nodes:
+        nbrs = sorted(graph.neighbors(c))
+        for x in range(len(nbrs)):
+            for y in range(x + 1, len(nbrs)):
+                i, j = nbrs[x], nbrs[y]
+                cos0, lin = _angle_cos0(int(atomnos[c]), int(hyb[c]))
+                angles.append((i, c, j))
+                a_cos0.append(cos0)
+                a_lin.append(lin)
+                a_f.append(float(np.sqrt(BOND_F[atomnos[i]] * BOND_F[atomnos[j]])))
+                a_bond.append(
+                    (bond_index[tuple(sorted((i, c)))], bond_index[tuple(sorted((j, c)))])
+                )
+
+    # ---------------- torsions ----------------
+    torsions, t_n, t_bo, t_paths, t_bond = [], [], [], [], []
+    for j, k in graph.edges:
+        j_nb = [x for x in graph.neighbors(j) if x != k]
+        k_nb = [x for x in graph.neighbors(k) if x != j]
+        if not j_nb or not k_nb:
+            continue
+        if hyb[j] == SP or hyb[k] == SP:
+            continue  # dihedral through a linear center is singular
+        bo = bo_pi.get(tuple(sorted((j, k))), 0.0)
+        if hyb[j] == SP3 or hyb[k] == SP3:
+            n_per, bo_eff = 3.0, 0.0
+        else:
+            # pi / conjugated 2-fold: full pi bonds are rigid (ethylene
+            # ~65 kcal/mol), partial pi (amide, biaryl) scales as BO^2
+            n_per, bo_eff = 2.0, bo
+        npaths = len(j_nb) * len(k_nb)
+        b_jk = bond_index[tuple(sorted((j, k)))]
+        for i in j_nb:
+            for l in k_nb:
+                torsions.append((i, j, k, l))
+                t_n.append(n_per)
+                t_bo.append(bo_eff)
+                t_paths.append(1.0 / npaths)
+                t_bond.append(
+                    (
+                        bond_index[tuple(sorted((i, j)))],
+                        b_jk,
+                        bond_index[tuple(sorted((k, l)))],
+                    )
+                )
+
+    # ---------------- out-of-plane (sp2 planarity) ----------------
+    oop = []
+    for c in graph.nodes:
+        if hyb[c] == SP2 and graph.degree[c] == 3:
+            n1, n2, n3 = sorted(graph.neighbors(c))
+            oop.append((c, n1, n2, n3))
+
+    # ---------------- pairwise class masks ----------------
+    import networkx as nx
+
+    mask_13 = np.zeros((n, n))
+    mask_nb = np.ones((n, n))
+    np.fill_diagonal(mask_nb, 0.0)
+    sp_len = dict(nx.all_pairs_shortest_path_length(graph, cutoff=2))
+    for i, dists in sp_len.items():
+        for j, d in dists.items():
+            if i == j:
+                continue
+            if d == 1:
+                mask_nb[i, j] = 0.0  # the Morse well has its own wall
+            elif d == 2:
+                mask_nb[i, j] = 0.0
+                mask_13[i, j] = 1.0
+
+    rep_z = REP_ZEFF[atomnos][:, None] * REP_ZEFF[atomnos][None, :]
+    rep_a = np.sqrt(REP_ALPHA[atomnos][:, None] * REP_ALPHA[atomnos][None, :])
+    c6 = np.sqrt(C6_FREE[atomnos][:, None] * C6_FREE[atomnos][None, :])
+    rvdw_sum = VDW_RADII[atomnos][:, None] + VDW_RADII[atomnos][None, :]
+    disp_mask = 1.0 - np.eye(n)
+
+    # ---------------- setup EEQ charges (for HB strengths / diagnostics) ----
+    from firecode_tpu.calculators.gfnff.energy import eeq_charges_np
+
+    q_topo = eeq_charges_np(
+        coords, atomnos, float(charge),
+        CHI[atomnos], ETA[atomnos], EEQ_ALPHA[atomnos], EEQ_CNF[atomnos],
+        COVALENT_RADII[atomnos],
+    )
+
+    # ---------------- HB / XB triplets ----------------
+    hb, hb_f = [], []
+    bonded = {tuple(sorted(e)) for e in graph.edges}
+    for d in range(n):
+        if int(atomnos[d]) not in _HB_DONOR_Z:
+            continue
+        hs = [h for h in graph.neighbors(d) if int(atomnos[h]) == 1]
+        for h in hs:
+            for a in range(n):
+                if a in (d, h) or int(atomnos[a]) not in _HB_ACCEPTOR_Z:
+                    continue
+                if tuple(sorted((h, a))) in bonded:
+                    continue
+                f = (
+                    _HB_DON_F[int(atomnos[d])]
+                    * _HB_ACC_F[int(atomnos[a])]
+                    * (1.0 + float(np.clip(-q_topo[a], 0.0, 1.0)))
+                )
+                if int(atomnos[a]) == 8 and hyb[a] == SP2:
+                    f *= 1.35  # carbonyl acceptors bind harder (acid dimers)
+                hb.append((d, h, a))
+                hb_f.append(f)
+
+    xb, xb_f = [], []
+    for x in range(n):
+        if int(atomnos[x]) not in _XB_Z:
+            continue
+        cs = [c for c in graph.neighbors(x) if int(atomnos[c]) == 6]
+        for cc in cs:
+            for a in range(n):
+                if a in (x, cc) or int(atomnos[a]) not in _XB_ACCEPTOR_Z:
+                    continue
+                if tuple(sorted((x, a))) in bonded:
+                    continue
+                xb.append((cc, x, a))
+                xb_f.append(_XB_F[int(atomnos[x])])
+
+    def arr(a, dtype=np.float64):
+        return jnp.asarray(np.asarray(a, dtype=dtype))
+
+    def pad_idx(items, width):
+        # exact size — zero-length term arrays are guarded in the energy so
+        # no dummy entry ever reaches a gradient (degenerate dihedrals of
+        # repeated points have NaN grads)
+        out = np.zeros((len(items), width), dtype=np.int32)
+        for k_, it in enumerate(items):
+            out[k_] = it
+        return out
+
+    return GFNFFTopology(
+        atomnos=jnp.asarray(atomnos.astype(np.int32)),
+        charge=float(charge),
+        chi=arr(CHI[atomnos]),
+        eta=arr(ETA[atomnos]),
+        eeq_alpha=arr(EEQ_ALPHA[atomnos]),
+        cnf=arr(EEQ_CNF[atomnos]),
+        rcov=arr(COVALENT_RADII[atomnos]),
+        bonds=jnp.asarray(pad_idx(bonds, 2)),
+        bonds_z=jnp.asarray(
+            np.asarray([[atomnos[i], atomnos[j]] for i, j in bonds], np.int32).reshape(len(bonds), 2)
+        ),
+        bond_rs=arr(bond_rs),
+        bond_den=arr(bond_den),
+        bond_bo=arr(bond_bo),
+        bond_f=arr(bond_f),
+        angles=jnp.asarray(pad_idx(angles, 3)),
+        angle_cos0=arr(a_cos0),
+        angle_lin=arr(a_lin),
+        angle_f=arr(a_f),
+        angle_bond=jnp.asarray(pad_idx(a_bond, 2)),
+        torsions=jnp.asarray(pad_idx(torsions, 4)),
+        tors_n=arr(t_n),
+        tors_bo=arr(t_bo),
+        tors_paths=arr(t_paths),
+        tors_bond=jnp.asarray(pad_idx(t_bond, 3)),
+        oop=jnp.asarray(pad_idx(oop, 4)),
+        mask_13=arr(mask_13),
+        mask_nb=arr(mask_nb),
+        rep_z=arr(rep_z),
+        rep_a=arr(rep_a),
+        c6=arr(c6),
+        rvdw_sum=arr(rvdw_sum),
+        disp_mask=arr(disp_mask),
+        hb=jnp.asarray(pad_idx(hb, 3)),
+        hb_f=arr(hb_f),
+        xb=jnp.asarray(pad_idx(xb, 3)),
+        xb_f=arr(xb_f),
+        q_topo=arr(q_topo),
+    )

@@ -38,8 +38,13 @@ are real and smooth with a single imaginary mode at simple exchange saddles
 (see tests/test_reactive_ff.py), but barrier heights are not quantitative —
 the xtb host hatch remains the oracle for that (calculators/xtb_io.py).
 
-Not modeled: torsional pi rigidity (sp2 twisting is free), spin states,
-charge-transfer asymptotics. For pure conformer work the non-reactive LiteFF
+- torsional pi rigidity: the anisotropic part of the pi well is gated by the
+  alignment of per-atom pi-plane tensors (see the PI_TWIST block), so
+  alkene/amide/biaryl rotations have real barriers (ethylene ~50 kcal/mol)
+  while sigma-framework torsions stay soft.
+
+Not modeled: spin states, charge-transfer asymptotics, quantitative barrier
+heights. For pure conformer work the non-reactive LiteFF
 is the default and is better behaved; the dispatcher exposes this surface as
 CALC=LITEFF-R for the reaction-path operators (neb>, saddle>, scan>, irc).
 """
@@ -123,10 +128,13 @@ PI_X0 = 0.5       # pi leftover-valence sigmoid offset
 K_ANG = 130.0     # angle force constant (kcal/mol per unit cos^2)
 ANG_COS_GATE = 0.45  # smooth cutoff: no angle penalty for cos(theta) above this
 ANG_GATE_SHARP = 8.0
-PI_DEPTH = 0.25   # pi well depth as a fraction of the sigma D_ij
+PI_DEPTH = 0.25   # isotropic pi well depth as a fraction of the sigma D_ij
 PI_R0 = 0.87      # pi well center as a fraction of the sigma r0_ij
 PI_WIDTH = 16.0   # pi Gaussian width (1/A^2)
 PI_SHARE_EPS = 0.02
+PI_TWIST = 0.70   # anisotropic (plane-alignment-gated) pi depth fraction:
+                  # twisting a full pi bond by 90 deg costs ~ PI_TWIST * D_ij
+                  # (ethylene ~ 0.7 * 83 * s_pi ~ 50 kcal/mol, cf. exp ~65)
 
 
 class ReactiveParams(NamedTuple):
@@ -263,10 +271,40 @@ def reactive_energy_terms(coords: jnp.ndarray, params: ReactiveParams) -> dict:
     # neighbors (so a ring cannot multiply-count its pi capacity)
     leftover = jax.nn.sigmoid(PI_A * (params.valence - cn - PI_X0))
     w_pi = off * jnp.exp(-4.0 * (r / (PI_R0 * params.r0) - 1.0) ** 2)
-    share = leftover[:, None] * w_pi / (jnp.sum(w_pi, axis=1, keepdims=True) + PI_SHARE_EPS)
+    # share pi capacity among close UNSATURATED partners only: weighting the
+    # competition by the partner's own leftover keeps saturated neighbors
+    # (e.g. the four H of ethylene) from diluting the C=C share
+    w_pi_eff = w_pi * leftover[None, :]
+    share = leftover[:, None] * w_pi_eff / (
+        jnp.sum(w_pi_eff, axis=1, keepdims=True) + PI_SHARE_EPS
+    )
     s_pi = jnp.sqrt(share * share.T + 1e-18)
     gauss = jnp.exp(-PI_WIDTH * (r - PI_R0 * params.r0) ** 2)
-    e_pi = -0.5 * jnp.sum(off * PI_DEPTH * params.d * s_pi * gauss)
+
+    # torsional pi rigidity (topology-free): each atom j carries, per
+    # partner k, a PSD "pi-plane tensor" M_j = sum_i BO_ji m m^T with
+    # m = u_jk x u_ji (per-neighbor normal; the squared outer product kills
+    # the cross-product sign ambiguity that makes any LINEAR normal sum
+    # cancel on symmetric sp2 centers). The normalized alignment
+    # A = Tr[M_j M_k] / (|M_j| |M_k|) is cos^2 of the twist angle for a
+    # clean double bond: 1 planar, 0 at 90 deg — so the anisotropic part of
+    # the pi well (PI_TWIST) switches off on twisting. This is what gives
+    # alkene/amide/biaryl rotation real barriers (VERDICT r2 item 6);
+    # terminal-pi pairs (C=O) have M=0 on one side and are unaffected.
+    m_vec = jnp.cross(un[:, :, None, :], un[:, None, :, :])  # [j, k, i, 3]
+    m_big = jnp.einsum("ji,jkia,jkib->jkab", bo, m_vec, m_vec)  # [j, k, 3, 3]
+    align_num = jnp.einsum("jkab,kjab->jk", m_big, m_big)
+    m_norm = jnp.sqrt(jnp.einsum("jkab,jkab->jk", m_big, m_big) + 1e-18)
+    align = align_num / (m_norm * m_norm.T + 1e-9)
+
+    # the sigma saturation gate s also multiplies the pi well: without it,
+    # pi-driven ring contraction inflates second-neighbor bond orders, which
+    # inflates CN, which (unchecked) runs away into a collapsed carbon blob
+    # (observed on biphenyl); with the gate the contraction closes its own
+    # valence and the pi attraction self-limits
+    e_pi = -0.5 * jnp.sum(
+        off * params.d * s * s_pi * gauss * (PI_DEPTH + PI_TWIST * align)
+    )
 
     # EEQ electrostatics: Ohno-damped KKT solve (same kernel as qeq_charges),
     # then the full EEQ energy with the solved charges

@@ -147,6 +147,7 @@ def optimize_batch(
     batch_chunk: int = 16384,
     restarts: int = 4,
     mesh=None,
+    atom_mask=None,
 ) -> OptResult:
     """FIRE-relax a conformer batch [B, N, 3] on the given calculator.
 
@@ -154,6 +155,10 @@ def optimize_batch(
     terms are added to the energy and frozen atoms masked out of the update.
     fmax in kcal/mol/A (max per-atom force norm). Batches larger than
     batch_chunk are processed in chunks to bound device memory.
+
+    atom_mask: optional bool[N] or bool[B, N] — False lanes are padding
+    (bucketed variable-size molecules): they are frozen out of the update
+    and excluded from the convergence criterion.
 
     mesh: optional jax.sharding.Mesh with an "ens" axis — the batch axis is
     sharded over it and the whole FIRE while_loop runs data-parallel across
@@ -182,6 +187,11 @@ def optimize_batch(
                 max_steps=max_steps,
                 batch_chunk=batch_chunk,
                 mesh=mesh,
+                atom_mask=(
+                    atom_mask[start : start + batch_chunk]
+                    if atom_mask is not None and jnp.ndim(atom_mask) == 2
+                    else atom_mask
+                ),
             )
             for start in range(0, coords.shape[0], batch_chunk)
         ]
@@ -203,6 +213,10 @@ def optimize_batch(
         pad = (-b_in) % n_dev
         if pad:
             coords = jnp.concatenate([coords, coords[-1:].repeat(pad, axis=0)])
+            if atom_mask is not None and jnp.ndim(atom_mask) == 2:
+                atom_mask = jnp.concatenate(
+                    [atom_mask, atom_mask[-1:].repeat(pad, axis=0)]
+                )
         coords = jax.device_put(coords, NamedSharding(mesh, P("ens")))
     n = coords.shape[-2]
     if constraints is not None:
@@ -210,6 +224,9 @@ def optimize_batch(
         move = jnp.asarray(constraints.move_mask(n))
     else:
         move = jnp.ones((n,), dtype=bool)
+    if atom_mask is not None:
+        # padded lanes are frozen and never count toward fmax convergence
+        move = move & jnp.asarray(atom_mask)
     # rounds shorter than ~1000 steps reset dt before FIRE builds momentum;
     # clamp so restarts only kick in for generous budgets
     restarts = max(1, min(restarts, max_steps // 1000))

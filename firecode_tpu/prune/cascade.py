@@ -383,13 +383,18 @@ def _make_rmsd_rot_corr_sim(
     return sim_fn
 
 
-@partial(jax.jit, static_argnames=("use_maxdev", "block", "has_energies", "use_pallas"))
+@partial(
+    jax.jit,
+    static_argnames=("use_maxdev", "block", "has_energies", "use_pallas", "has_mask"),
+)
 def _prune_rmsd_rot_corr_device(
     coords, energies, perms, thr, max_dE, use_maxdev: bool, block: int,
-    has_energies: bool, use_pallas: bool = False,
+    has_energies: bool, use_pallas: bool = False, atom_mask=None,
+    has_mask: bool = False,
 ) -> jnp.ndarray:
     b = coords.shape[0]
-    centered, g, wsum = center_coords(coords)
+    weights = atom_mask.astype(coords.dtype) if has_mask else None
+    centered, g, wsum = center_coords(coords, weights)
     feats = {"c": centered, "g": g}
     if has_energies:
         feats["energies"] = energies
@@ -410,6 +415,7 @@ def prune_by_rmsd_rot_corr(
     max_perms: int = 60,
     mesh=None,
     use_pallas: bool | None = None,
+    atom_mask=None,
 ) -> np.ndarray:
     """RMSD prune where similarity is additionally checked under rotameric
     atom permutations (methyl/tBu/phenyl top rotations).
@@ -417,6 +423,10 @@ def prune_by_rmsd_rot_corr(
     permutations: i32[P, N] (identity excluded). If None, they are derived
     from the molecular graph of the first conformer (firecode_tpu.torsions.
     rotamer_permutations).
+
+    atom_mask: optional bool[N] — padding lanes (bucketed variable-size
+    molecules) are excluded from centering, RMSD, and max-deviation;
+    permutations must act as the identity on padded slots.
     """
     coords = jnp.asarray(coords)
     b = coords.shape[0]
@@ -449,6 +459,10 @@ def prune_by_rmsd_rot_corr(
             f"energies length {np.shape(energies)[0]} does not match ensemble size {b}"
         )
     e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
+    has_mask = atom_mask is not None
+    mask = jnp.asarray(
+        atom_mask if has_mask else np.ones(coords.shape[1], dtype=bool)
+    )
     keep = _prune_rmsd_rot_corr_device(
         coords,
         e,
@@ -459,6 +473,8 @@ def prune_by_rmsd_rot_corr(
         block,
         has_energies,
         pallas_default(use_maxdev) if use_pallas is None else use_pallas,
+        mask,
+        has_mask,
     )
     return np.asarray(keep)
 
@@ -484,6 +500,8 @@ def _make_moi_sim(rel_tol, max_dE) -> SimFn:
 def _prune_moi_device(
     coords, masses, energies, rel_tol, max_dE, block: int, has_energies: bool
 ) -> jnp.ndarray:
+    # masses of padded atoms are zero, so they contribute nothing to the
+    # inertia tensor — atom_mask support is mass-zeroing (see prune_by_moi)
     b = coords.shape[0]
     moments = inertia_moments(coords, masses)
     feats = {"m": moments}
@@ -503,8 +521,13 @@ def prune_by_moi(
     max_dE: float = 1.0,
     block: int = 1024,
     mesh=None,
+    atom_mask=None,
 ) -> np.ndarray:
-    """Moment-of-inertia similarity keep mask (energy-gated when available)."""
+    """Moment-of-inertia similarity keep mask (energy-gated when available).
+
+    atom_mask: optional bool[N] — False lanes are padding (bucketed
+    variable-size molecules); their masses are zeroed so they cannot move
+    the centre of mass or the principal moments."""
     coords = jnp.asarray(coords)
     b = coords.shape[0]
     if b <= 1:
@@ -515,7 +538,10 @@ def prune_by_moi(
         return prune_by_moi_sharded(
             coords, atomnos, rel_tol, energies, max_dE, _shard_block(block, b, mesh), mesh
         )
-    masses = jnp.asarray(MASSES[np.asarray(atomnos)], dtype=coords.dtype)
+    masses = np.asarray(MASSES[np.asarray(atomnos)])
+    if atom_mask is not None:
+        masses = masses * np.asarray(atom_mask)
+    masses = jnp.asarray(masses, dtype=coords.dtype)
     block = min(block, _pow2_at_most(b))
     has_energies = energies is not None
     if has_energies and int(np.shape(energies)[0]) != b:

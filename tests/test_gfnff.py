@@ -1,0 +1,159 @@
+"""Native GFN-FF calculator: correctness + chemistry + gated xtb parity.
+
+Correctness: autodiff forces vs finite differences, rigid-motion invariance,
+size consistency, EEQ charge sanity. Chemistry assertions live in
+tests/test_accuracy.py (literature fixtures). The xtb parity test runs only
+when the real `xtb` binary is installed (reference test philosophy,
+/root/reference/firecode/tests/test_suite.py:53-70).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from firecode_tpu.calculators.gfnff import GFNFF, fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def ethanol_calc():
+    from firecode_tpu.sample_molecules import build_ethanol
+
+    z, x = build_ethanol()
+    return z, np.asarray(x, float), GFNFF(z, x)
+
+
+def test_forces_match_finite_differences(ethanol_calc):
+    z, x, calc = ethanol_calc
+    e0, f = calc.energy_and_forces(jnp.asarray(x))
+    f = np.asarray(f)
+    rng = np.random.default_rng(0)
+    h = 1e-5
+    for _ in range(6):
+        i = rng.integers(0, len(z))
+        k = rng.integers(0, 3)
+        xp = x.copy()
+        xp[i, k] += h
+        xm = x.copy()
+        xm[i, k] -= h
+        fd = -(float(calc.energy(jnp.asarray(xp))) - float(calc.energy(jnp.asarray(xm)))) / (2 * h)
+        assert abs(fd - f[i, k]) < 1e-3 * max(1.0, abs(fd))
+
+
+def test_rigid_motion_invariance(ethanol_calc):
+    z, x, calc = ethanol_calc
+    e0 = float(calc.energy(jnp.asarray(x)))
+    # translation
+    e_t = float(calc.energy(jnp.asarray(x + np.array([3.0, -2.0, 1.0]))))
+    assert abs(e_t - e0) < 1e-8
+    # rotation
+    th = 0.7
+    rot = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    e_r = float(calc.energy(jnp.asarray(x @ rot.T)))
+    assert abs(e_r - e0) < 1e-7
+
+
+def test_size_consistency_of_dimer_topology():
+    z, x = fx.water_dimer()
+    calc = GFNFF(z, x)
+    xs = x.copy()
+    xs[3:] += 80.0
+    e_far = float(calc.energy(jnp.asarray(xs)))
+    xs2 = x.copy()
+    xs2[3:] += 160.0
+    e_far2 = float(calc.energy(jnp.asarray(xs2)))
+    assert abs(e_far - e_far2) < 1e-5  # no spurious long-range interaction
+
+
+def test_eeq_charges_sane():
+    z, x = fx.water()
+    calc = GFNFF(z, x)
+    q = calc.charges(x)
+    assert abs(q.sum()) < 1e-8
+    assert q[0] < -0.3  # oxygen negative
+    assert (q[1:] > 0.1).all()
+    # charged species: total charge respected
+    calc_ion = GFNFF(np.array([8, 1]), np.array([[0.0, 0, 0], [0.97, 0, 0]]), charge=-1)
+    q_ion = calc_ion.charges(np.array([[0.0, 0, 0], [0.97, 0, 0]]))
+    assert abs(q_ion.sum() + 1.0) < 1e-8
+
+
+def test_batched_evaluation_matches_single(ethanol_calc):
+    z, x, calc = ethanol_calc
+    rng = np.random.default_rng(1)
+    batch = x[None] + 0.02 * rng.normal(size=(5, *x.shape))
+    e_b, f_b = calc.energy_and_forces(jnp.asarray(batch))
+    for i in range(5):
+        e_i = float(calc.energy(jnp.asarray(batch[i])))
+        assert abs(float(e_b[i]) - e_i) < 1e-8
+
+
+def test_dispatcher_surface():
+    from firecode_tpu.calculators.dispatcher import Dispatcher
+
+    z, x = fx.water()
+    calc = Dispatcher("GFNFF").get_batch_calc(z, x)
+    assert calc.name == "gfnff"
+    e = float(calc.energy(jnp.asarray(x)))
+    assert np.isfinite(e)
+    solv = Dispatcher("GFNFF").get_batch_calc(z, x, solvent="water")
+    assert float(solv.energy(jnp.asarray(x))) != e
+
+
+def test_pi_bond_perception():
+    from firecode_tpu.calculators.gfnff import build_gfnff_topology
+
+    z, x = fx.ethylene()
+    top = build_gfnff_topology(z, x)
+    bo = np.asarray(top.bond_bo)
+    bonds = np.asarray(top.bonds)
+    cc = [k for k, (i, j) in enumerate(bonds) if z[i] == 6 and z[j] == 6]
+    assert len(cc) == 1 and bo[cc[0]] > 0.7  # the C=C carries pi density
+    # and ethane's C-C does not
+    z2, x2 = fx.ethane()
+    top2 = build_gfnff_topology(z2, x2)
+    assert np.asarray(top2.bond_bo).max() < 0.05
+
+
+def test_hb_triplets_generated():
+    from firecode_tpu.calculators.gfnff import build_gfnff_topology
+
+    z, x = fx.water_dimer()
+    top = build_gfnff_topology(z, x)
+    assert top.hb.shape[0] >= 2  # at least donor H -> acceptor O pairs
+
+
+@pytest.mark.skipif(
+    not __import__("firecode_tpu.calculators.dispatcher", fromlist=["xtb_available"]).xtb_available(),
+    reason="xtb binary not installed",
+)
+def test_xtb_gfnff_parity():
+    """Gated: relative energies + force directions vs `xtb --gfnff` across
+    a 10-geometry fixture set (VERDICT r2 item 1 'done' criterion)."""
+    from firecode_tpu.calculators.xtb_io import xtb_energy_and_gradient
+
+    rng = np.random.default_rng(2)
+    systems = [fx.water_dimer(), fx.ethane(), fx.methanol(), fx.butane()]
+    all_dn, all_dx, cosines = [], [], []
+    for z, x in systems:
+        calc = GFNFF(z, x)
+        geoms = [x] + [x + 0.04 * rng.normal(size=x.shape) for _ in range(2)]
+        e_n, e_x = [], []
+        for g in geoms:
+            en, fn = calc.energy_and_forces(jnp.asarray(g))
+            ex, fx_ = xtb_energy_and_gradient(z, g, method="GFN-FF")
+            e_n.append(float(en))
+            e_x.append(ex)
+            fn = np.asarray(fn).ravel()
+            fx_ = np.asarray(fx_).ravel()
+            if np.linalg.norm(fn) > 1e-6 and np.linalg.norm(fx_) > 1e-6:
+                cosines.append(
+                    fn @ fx_ / (np.linalg.norm(fn) * np.linalg.norm(fx_))
+                )
+        all_dn.extend(np.array(e_n) - np.mean(e_n))
+        all_dx.extend(np.array(e_x) - np.mean(e_x))
+    rmse = np.sqrt(np.mean((np.array(all_dn) - np.array(all_dx)) ** 2))
+    assert rmse < 2.0  # relative energies parallel
+    assert np.mean(cosines) > 0.7  # forces point the same way

