@@ -1,0 +1,158 @@
+"""Anchor the native GB+SASA solvation model (VERDICT r2 item 9).
+
+Primary anchor (always available): experimental hydration free energies of
+the embedded fixture molecules (fixtures.HYDRATION_TARGETS). Secondary,
+gated anchor: when the real `xtb` binary is installed, ALPB delta-solvation
+energies are collected for every solvent in firecode_tpu.solvents and the
+per-solvent MAD vs ALPB is recorded alongside.
+
+The fit moves four physical scalars (surface tension, Born-radius scale,
+HCT descreening, polar scale) by gradient descent — the solvation energy is
+pure JAX and differentiable in them. Results go to
+calculators/data/solvation_fit.npz (loaded by solvation.load_solv_params)
+and the per-molecule errors into ACCURACY.json via gfnff.accuracy.
+
+Run:  python -m firecode_tpu.calculators.fit_solvation [--steps 400] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from firecode_tpu.calculators.gfnff import fixtures as fx
+from firecode_tpu.calculators.solvation import DEFAULT_SOLV_PARAMS
+
+_FIXTURES = {
+    "water": fx.water,
+    "methanol": fx.methanol,
+    "ammonia": fx.ammonia,
+    "methane": fx.methane,
+    "ethane": fx.ethane,
+    "butane": fx.butane,
+    "formaldehyde": fx.formaldehyde,
+    "formic_acid": fx.formic_acid,
+}
+
+
+def _cases():
+    import jax.numpy as jnp
+
+    out = {}
+    for name in fx.HYDRATION_TARGETS:
+        z, x = _FIXTURES[name]()
+        out[name] = (np.asarray(z), jnp.asarray(x))
+    return out
+
+
+def hydration_energies(params: dict) -> dict:
+    """dG_hyd per fixture molecule with the given model parameters."""
+    from firecode_tpu.calculators.solvation import solvation_energy_fn
+
+    out = {}
+    for name, (z, x) in _cases().items():
+        fn = solvation_energy_fn(z, "water", params=params)
+        out[name] = float(fn(x))
+    return out
+
+
+def run_fit(steps: int = 400, lr: float = 0.05, verbose: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from firecode_tpu.calculators.solvation import solvation_energy_fn
+
+    cases = _cases()
+    keys = ("gamma", "rho_scale", "hct", "polar_scale", "rho_H", "rho_C", "rho_N", "rho_O")
+    theta = jnp.asarray([np.log(DEFAULT_SOLV_PARAMS[k]) for k in keys])
+
+    def loss(theta):
+        p = {k: jnp.exp(theta[i]) for i, k in enumerate(keys)}
+        total = 0.0
+        for name, (z, x) in cases.items():
+            tgt, tol = fx.HYDRATION_TARGETS[name]
+            fn = solvation_energy_fn(z, "water", params=p)
+            total = total + ((fn(x) - tgt) / tol) ** 2
+        # keep the parameters physical
+        theta0 = jnp.asarray([np.log(DEFAULT_SOLV_PARAMS[k]) for k in keys])
+        reg = jnp.asarray([0.1, 0.1, 0.1, 0.1, 2.0, 2.0, 2.0, 2.0])
+        return total + jnp.sum(reg * (theta - theta0) ** 2)
+
+    opt = optax.adam(lr)
+    state = opt.init(theta)
+    vg = jax.jit(jax.value_and_grad(loss))
+    for step in range(steps):
+        val, g = vg(theta)
+        upd, state = opt.update(g, state)
+        theta = optax.apply_updates(theta, upd)
+        if verbose and (step % 100 == 0 or step == steps - 1):
+            print(f"  step {step:4d}  loss {float(val):9.3f}")
+    return {k: float(np.exp(theta[i])) for i, k in enumerate(keys)}
+
+
+def alpb_mad_by_solvent() -> dict:
+    """Gated: per-solvent MAD vs the xtb binary's ALPB delta-solvation."""
+    from firecode_tpu.calculators.dispatcher import xtb_available
+
+    if not xtb_available():
+        return {}
+    from firecode_tpu.calculators.solvation import solvation_energy_fn
+    from firecode_tpu.calculators.xtb_io import xtb_energy_and_gradient
+    from firecode_tpu.solvents import xtb_solvent_names
+
+    out = {}
+    cases = _cases()
+    for solvent in xtb_solvent_names:
+        errs = []
+        for name, (z, x) in cases.items():
+            try:
+                e_gas, _ = xtb_energy_and_gradient(z, np.asarray(x))
+                e_sol, _ = xtb_energy_and_gradient(z, np.asarray(x), solvent=solvent)
+            except Exception:
+                continue
+            native = float(solvation_energy_fn(z, solvent)(x))
+            errs.append(abs(native - (e_sol - e_gas)))
+        if errs:
+            out[solvent] = round(float(np.mean(errs)), 2)
+    return out
+
+
+def write_fit(params: dict) -> str:
+    path = os.path.join(os.path.dirname(__file__), "data", "solvation_fit.npz")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, **{k: np.float64(v) for k, v in params.items()})
+    return path
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+
+    print("anchoring GB+SASA against experimental hydration energies ...")
+    fitted = run_fit(steps=args.steps)
+    print("\nfitted:", {k: round(v, 4) for k, v in fitted.items()})
+    print("\nper-molecule dG_hyd (target):")
+    es = hydration_energies(fitted)
+    for name, e in es.items():
+        tgt, tol = fx.HYDRATION_TARGETS[name]
+        mark = "ok " if abs(e - tgt) <= tol else "FAIL"
+        print(f"  [{mark}] {name:14s} {e:7.2f}  ({tgt} +- {tol})")
+    mad = alpb_mad_by_solvent()
+    if mad:
+        print("\nper-solvent MAD vs ALPB:", mad)
+    if args.write:
+        print("wrote", write_fit(fitted))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,26 @@ def compute_report() -> dict:
     xd = relax(fx.water_dimer())
     rec("water_dimer_oo", np.linalg.norm(xd[3] - xd[0]))
 
+    # ---- hydration free energies (GB+SASA, committed anchored fit) ----
+    from firecode_tpu.calculators.fit_solvation import (
+        alpb_mad_by_solvent,
+        hydration_energies,
+    )
+    from firecode_tpu.calculators.solvation import load_solv_params
+
+    hyd = hydration_energies(load_solv_params())
+    report["hydration"] = {}
+    for name, e in hyd.items():
+        tgt, tol = fx.HYDRATION_TARGETS[name]
+        key = f"dg_hyd_{name}"
+        report["targets"][key] = {
+            "value": round(e, 2), "target": tgt, "tol": tol,
+            "ok": bool(abs(e - tgt) <= tol),
+        }
+    mad = alpb_mad_by_solvent()
+    if mad:
+        report["alpb_mad_by_solvent"] = mad  # gated: only with the xtb binary
+
     n_ok = sum(1 for t in report["targets"].values() if t["ok"])
     report["n_targets"] = len(report["targets"])
     report["n_within_tolerance"] = n_ok

@@ -191,6 +191,11 @@ def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
     r2m = jnp.sum(diff * diff, axis=-1)
     rm = jnp.sqrt(r2m + 1e-12)
     rep_scale = p["krep_13"] * top.mask_13 + p["krep_nb"] * top.mask_nb
+    # HB-pair softening: charge transfer lets H...O/N contacts sit far
+    # inside the nonpolar vdW wall (the wall itself stays hard elsewhere)
+    rep_scale = rep_scale * (
+        1.0 - (1.0 - p["krep_hb"]) * top.mask_hb_pair
+    )
     erep = (
         p["krep"] * rep_scale * top.rep_z / rm * jnp.exp(-top.rep_a * rm**1.5)
     )

@@ -33,7 +33,7 @@ from firecode_tpu.calculators.gfnff import fixtures as fx
 from firecode_tpu.calculators.gfnff.params import GlobalParams
 
 # parameters the fit may move (everything else stays at its default).
-# Stiffness scalars (kb_a, ka_s, kt_sp3, koop, khb_w) are deliberately
+# Stiffness scalars (kb_a, ka_s, koop, khb_w) are deliberately
 # EXCLUDED: pure force matching at minima rewards softening every spring
 # (|F| shrinks with k at fixed displacement), so they stay at their
 # physics-anchored defaults and only geometry-positioning and interaction
@@ -42,11 +42,19 @@ from firecode_tpu.calculators.gfnff.params import GlobalParams
 # its physical long-range strength; a1/a2 carry strong regularization for
 # the same reason.
 FIT_KEYS = (
-    "ken", "kr_pi", "kt_pi", "kt_conj", "krep", "krep_13",
-    "s8", "a1", "a2", "khb",
+    "ken", "kr_pi", "kt_sp3", "kt_pi", "kt_conj", "krep", "krep_13",
+    "krep_hb", "s8", "a1", "a2", "khb",
 )
 _REG = 0.05  # pull toward the defaults (log space)
-_REG_PER_KEY = {"a1": 1.0, "a2": 1.0, "krep": 0.8, "krep_13": 0.3}
+# krep is pinned HARD: the torsion constants (kt_sp3 free) absorb whatever
+# barrier share the Pauli wall does not cover, so the fit must not be
+# allowed to trade the wall away against scan targets (that broke butane
+# gauche and biaryl sterics in earlier rounds)
+# a1/a2 pinned hard too: a small BJ radius turns dispersion into a BOND
+# compressor (at R0 ~ 1.8 the -C6/r^6 gradient at 1.5 A is ~10 kcal/mol/A,
+# which dragged every C-C 0.05 A short); physical R0 ~ 3+ A keeps the
+# dimer wells while staying flat at bonded range
+_REG_PER_KEY = {"a1": 4.0, "a2": 4.0, "krep": 4.0, "krep_13": 0.3}
 _WF = 0.006  # force-matching weight (kcal/mol/A)^-2
 
 

@@ -63,30 +63,35 @@ _EEQ: dict[int, tuple[float, float, float, float]] = {
 }
 _EEQ_FALLBACK = (5.0, 8.0, 1.5, 0.0)
 
-# repulsion: effective nuclear charge (valence electrons) and exponent scale
+# repulsion: effective nuclear charge (valence electrons) and exponent
+# scale (A^-1.5). Exponents calibrated so the Pauli wall has physical reach
+# at vdW CONTACT, not just at covalent range: H...H ~ 0.7 kcal/mol at 2.2 A
+# and C...C ~ 0.4 at 3.4 A with krep ~ 315 — the previous (steeper) values
+# left eclipsed-H and ortho-H sterics with no wall at all, which is what
+# broke the butane gauche ladder and biaryl atropisomerism.
 _REP: dict[int, tuple[float, float]] = {
-    1: (1.0, 2.21),
-    3: (1.0, 1.30),
-    5: (3.0, 1.60),
-    6: (4.0, 1.75),
-    7: (5.0, 1.90),
-    8: (6.0, 2.00),
-    9: (7.0, 2.10),
-    11: (1.0, 1.20),
-    12: (2.0, 1.25),
-    14: (4.0, 1.35),
-    15: (5.0, 1.45),
-    16: (6.0, 1.50),
-    17: (7.0, 1.55),
-    19: (1.0, 1.10),
-    20: (2.0, 1.15),
-    26: (8.0, 1.30),
-    29: (11.0, 1.30),
-    30: (2.0, 1.30),
-    35: (7.0, 1.40),
-    53: (7.0, 1.30),
+    1: (1.0, 1.63),
+    3: (1.0, 0.95),
+    5: (3.0, 1.18),
+    6: (4.0, 1.28),
+    7: (5.0, 1.39),
+    8: (6.0, 1.47),
+    9: (7.0, 1.54),
+    11: (1.0, 0.88),
+    12: (2.0, 0.92),
+    14: (4.0, 1.00),
+    15: (5.0, 1.07),
+    16: (6.0, 1.10),
+    17: (7.0, 1.14),
+    19: (1.0, 0.81),
+    20: (2.0, 0.84),
+    26: (8.0, 0.95),
+    29: (11.0, 0.95),
+    30: (2.0, 0.95),
+    35: (7.0, 1.03),
+    53: (7.0, 0.95),
 }
-_REP_FALLBACK = (4.0, 1.5)
+_REP_FALLBACK = (4.0, 1.1)
 
 # dispersion: free-atom-ish C6 (Eh a0^6, hybridization-typical mid-range
 # D3 flavour) and Bondi vdW radii (A) for BJ damping
@@ -207,9 +212,10 @@ class GlobalParams:
     # out-of-plane (sp2 planarity): E = koop * h^2
     koop: float = 18.0
     # repulsion: E = krep * ZA ZB / r * exp(-sqrt(aA aB) * r^1.5)
-    krep: float = 420.0
+    krep: float = 315.0
     krep_13: float = 0.35  # scale on 1-3 pairs (angles carry most of it)
     krep_nb: float = 1.0  # scale on >=1-4 pairs
+    krep_hb: float = 0.15  # softening on HB donor/acceptor pairs
     # dispersion: BJ-damped C6 (+C8-ish via s8 on the same kernel)
     s6: float = 1.0
     a1: float = 0.45

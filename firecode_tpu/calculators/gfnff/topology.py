@@ -87,6 +87,9 @@ class GFNFFTopology(NamedTuple):
     # pairwise tables
     mask_13: jnp.ndarray  # f[N, N] 1 for 1-3 pairs
     mask_nb: jnp.ndarray  # f[N, N] 1 for >=1-4 / nonbonded pairs
+    mask_hb_pair: jnp.ndarray  # f[N, N] 1 on H...acceptor / donor...acceptor
+    #   pairs (their Pauli wall is softened by krep_hb: charge transfer
+    #   compresses HB contacts far below the nonpolar vdW wall)
     rep_z: jnp.ndarray  # f[N, N] ZA*ZB
     rep_a: jnp.ndarray  # f[N, N] sqrt(aA*aB)
     c6: jnp.ndarray  # f[N, N] pair C6 (kcal/mol A^6)
@@ -339,6 +342,13 @@ def build_gfnff_topology(
                 xb.append((cc, x, a))
                 xb_f.append(_XB_F[int(atomnos[x])])
 
+    mask_hb_pair = np.zeros((n, n))
+    for d, h, a in hb:
+        mask_hb_pair[h, a] = mask_hb_pair[a, h] = 1.0
+        mask_hb_pair[d, a] = mask_hb_pair[a, d] = 1.0
+    for c, xx, a in xb:
+        mask_hb_pair[xx, a] = mask_hb_pair[a, xx] = 1.0
+
     def arr(a, dtype=np.float64):
         return jnp.asarray(np.asarray(a, dtype=dtype))
 
@@ -380,6 +390,7 @@ def build_gfnff_topology(
         oop=jnp.asarray(pad_idx(oop, 4)),
         mask_13=arr(mask_13),
         mask_nb=arr(mask_nb),
+        mask_hb_pair=arr(mask_hb_pair),
         rep_z=arr(rep_z),
         rep_a=arr(rep_a),
         c6=arr(c6),

@@ -170,6 +170,57 @@ DEFAULT_CHECKPOINT = str(
 )
 
 
+def _augmented_samples(z, coords, n_samples, jitter, key) -> np.ndarray:
+    """Training geometries beyond Gaussian noise (VERDICT r2 item 2):
+    1/2 jittered, 1/4 additionally torsion-displaced (random rotations on
+    every rotable bond), 1/4 additionally bond-stretched (+-0.25 A along a
+    random bond) — so the student sees conformational AND bond-displacement
+    physics, not just basin noise."""
+    import networkx as nx
+
+    from firecode_tpu.graphs import graphize
+    from firecode_tpu.ops.torsion_ops import rotate_dihedral
+    from firecode_tpu.torsions import find_torsions
+
+    z = np.asarray(z)
+    coords = np.asarray(coords, dtype=np.float32)
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    n_jit = n_samples // 2
+    n_tor = n_samples // 4
+    n_str = n_samples - n_jit - n_tor
+
+    base = np.broadcast_to(coords, (n_samples, *coords.shape)).copy()
+
+    graph = graphize(z, coords)
+    torsions = find_torsions(graph, z, coords)
+    if torsions and n_tor:
+        sl = slice(n_jit, n_jit + n_tor)
+        work = jnp.asarray(base[sl])
+        for t in torsions:
+            angles = rng.uniform(-60.0, 60.0, size=n_tor)
+            work = rotate_dihedral(
+                work, jnp.asarray(np.asarray(t.quadruplet, np.int32)),
+                jnp.asarray(angles.astype(np.float32)), jnp.asarray(t.mask),
+            )
+        base[sl] = np.asarray(work)
+    if n_str:
+        edges = list(graph.edges)
+        for s in range(n_samples - n_str, n_samples):
+            i, j = edges[rng.integers(len(edges))]
+            g2 = graph.copy()
+            g2.remove_edge(i, j)
+            side = nx.node_connected_component(g2, j)
+            if len(side) > len(z) // 2:
+                i, j = j, i
+                side = nx.node_connected_component(g2, j)
+            d = coords[j] - coords[i]
+            d = d / (np.linalg.norm(d) + 1e-12)
+            base[s, sorted(side)] += rng.uniform(-0.25, 0.25) * d
+
+    base += jitter * rng.normal(size=base.shape).astype(np.float32)
+    return base
+
+
 def distill_systems(
     teacher_factory,
     systems: list[tuple[np.ndarray, np.ndarray]],
@@ -201,9 +252,7 @@ def distill_systems(
         z = np.asarray(z)
         coords = np.asarray(coords, dtype=np.float32)
         teacher = teacher_factory(z, coords)
-        samples = coords[None] + jitter * np.asarray(
-            jax.random.normal(k_jit, (n_samples, *coords.shape), jnp.float32)
-        )
+        samples = _augmented_samples(z, coords, n_samples, jitter, k_jit)
         e_ref, f_ref = teacher.energy_and_forces(jnp.asarray(samples))
         pad = n_max - len(z)
         z_pad = np.pad(z, (0, pad))
@@ -293,7 +342,7 @@ def distill_systems(
     return params
 
 
-def _chno_training_systems() -> list[tuple[np.ndarray, np.ndarray]]:
+def _chno_training_systems(teacher_factory=None) -> list[tuple[np.ndarray, np.ndarray]]:
     """Small CHNO molecules, teacher-relaxed, for the bundled checkpoint."""
     from firecode_tpu.calculators.reactive_ff import ReactiveFF
     from firecode_tpu.opt.fire import optimize_batch
@@ -329,29 +378,84 @@ def _chno_training_systems() -> list[tuple[np.ndarray, np.ndarray]]:
     for n_carbons in (2, 3, 4, 5):
         raw.append(build_alkane(n_carbons))
 
+    # widened corpus (VERDICT r2 item 2): conjugation, aromatics, an H-bonded
+    # complex, and more O/N compositions from the literature fixture set
+    from firecode_tpu.calculators.gfnff import fixtures as fx
+
+    raw.append(fx.formic_acid())
+    raw.append(fx.water_dimer())
+    raw.append(fx.biphenyl())  # aromatic rings + the inter-ring torsion
+    # s-trans butadiene (conjugated C=C-C=C)
+    raw.append((
+        np.array([6, 6, 6, 6, 1, 1, 1, 1, 1, 1]),
+        np.array([
+            [0.0, 0.0, 0], [1.34, 0.0, 0], [2.05, 1.24, 0], [3.39, 1.24, 0],
+            [-0.55, -0.93, 0], [-0.55, 0.93, 0], [1.89, -0.93, 0],
+            [1.50, 2.17, 0], [3.94, 0.31, 0], [3.94, 2.17, 0],
+        ]),
+    ))
+    # acetone
+    raw.append((
+        np.array([6, 6, 6, 8, 1, 1, 1, 1, 1, 1]),
+        np.array([
+            [0.0, 0.0, 0], [1.52, 0.0, 0], [2.22, 1.34, 0], [2.12, -1.03, 0],
+            [-0.38, -0.51, 0.88], [-0.38, -0.51, -0.88], [-0.38, 1.02, 0],
+            [1.89, 1.89, 0.88], [1.89, 1.89, -0.88], [3.30, 1.21, 0],
+        ]),
+    ))
+
+    if teacher_factory is None:
+        teacher_factory = lambda z, c: ReactiveFF(z)
     systems = []
     for z, coords in raw:
-        calc = ReactiveFF(z)
-        res = optimize_batch(calc, coords[None].astype(np.float32), fmax=0.05, max_steps=2000)
+        calc = teacher_factory(np.asarray(z), np.asarray(coords, dtype=np.float64))
+        res = optimize_batch(calc, coords[None].astype(np.float64), fmax=0.05, max_steps=2000)
         systems.append((z, np.asarray(res.coords[0], dtype=np.float64)))
     return systems
 
 
-def train_default_checkpoint(path: str | None = None, logfunction=print) -> str:
-    """Train and save the bundled CHNO checkpoint (teacher: LiteFF-R)."""
-    from pathlib import Path
+def pick_teacher(name: str = "auto"):
+    """Teacher factory + its name. "auto": the real xtb binary when it is
+    installed (gated), else the native literature-anchored GFN-FF — NOT the
+    LiteFF-R the student was circularly distilled from in round 2
+    (VERDICT r2 item 2)."""
+    from firecode_tpu.calculators.dispatcher import xtb_available
 
+    if name == "auto":
+        name = "xtb" if xtb_available() else "gfnff"
+    if name == "xtb":
+        from firecode_tpu.calculators.xtb_io import XTBHostCalculator
+
+        return name, lambda z, c: XTBHostCalculator(z)
+    if name == "gfnff":
+        from firecode_tpu.calculators.gfnff import GFNFF
+
+        return name, lambda z, c: GFNFF(z, c)
     from firecode_tpu.calculators.reactive_ff import ReactiveFF
 
-    params = distill_systems(
-        lambda z, c: ReactiveFF(z),
-        _chno_training_systems(),
-        logfunction=logfunction,
-    )
+    return "liteff-r", lambda z, c: ReactiveFF(z)
+
+
+def train_default_checkpoint(
+    path: str | None = None, teacher: str = "auto", logfunction=print
+) -> str:
+    """Train and save the bundled CHNO checkpoint.
+
+    The checkpoint records its teacher in metadata (`__teacher__`) so the
+    provenance is auditable; the gated xtb teacher is used automatically
+    when the binary is installed."""
+    from pathlib import Path
+
+    teacher_name, factory = pick_teacher(teacher)
+    logfunction(f"  teacher: {teacher_name}")
+    systems = _chno_training_systems(factory)
+    params = distill_systems(factory, systems, logfunction=logfunction)
     path = path or DEFAULT_CHECKPOINT
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(
         __import__("pathlib").Path(path).with_suffix(""),
+        __teacher__=np.asarray(teacher_name),
+        __n_systems__=np.asarray(len(systems)),
         **{k: np.asarray(v) for k, v in params.items()},
     )
     return path

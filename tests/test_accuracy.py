@@ -117,6 +117,24 @@ def test_water_dimer_hydrogen_bond_distance():
     assert abs(oo - tgt) < tol
 
 
+def test_hydration_free_energies_anchored():
+    """The GB+SASA model reproduces experimental hydration free energies
+    with the committed anchored parameters (VERDICT r2 item 9)."""
+    from firecode_tpu.calculators.fit_solvation import hydration_energies
+    from firecode_tpu.calculators.solvation import load_solv_params
+
+    es = hydration_energies(load_solv_params())
+    n_ok = 0
+    for name, e in es.items():
+        tgt, tol = fx.HYDRATION_TARGETS[name]
+        if abs(e - tgt) <= tol:
+            n_ok += 1
+    assert n_ok >= len(es) - 1  # at most one outlier
+    # sign structure: polar compounds solvate, alkanes do not
+    assert es["water"] < -4.0
+    assert es["methane"] > 0.0
+
+
 def test_accuracy_artifact_up_to_date():
     """ACCURACY.json must exist and report a majority of targets in
     tolerance — the committed evidence artifact (VERDICT r2 item 1)."""

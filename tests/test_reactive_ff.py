@@ -300,12 +300,11 @@ def test_biphenyl_atropisomer_profile_and_ts():
 
 
 def test_biphenyl_ts_search_gfnff():
-    """Atropisomer TS search on the biaryl fixture with the generated
-    GFN-FF (topology-based torsions are stable on fused aromatics, where
-    the topology-free reactive surface needs its anti-scrambling guard):
-    constrained perpendicular pre-relaxation, then eigenvector-following to
-    the first-order twist saddle (reference workflow,
-    firecode/atropisomer_module.py:50-300)."""
+    """Atropisomer TS search on a REAL atropisomer (2,2'-dimethylbiphenyl)
+    with the generated GFN-FF: the ortho methyls force a twisted minimum;
+    the racemization saddle is the anti-planar passage, located by
+    constrained pre-relaxation + eigenvector following (the reference
+    workflow, firecode/atropisomer_module.py:50-300)."""
     import jax.numpy as jnp
 
     from firecode_tpu.calculators.gfnff import GFNFF, fixtures as fx
@@ -315,34 +314,40 @@ def test_biphenyl_ts_search_gfnff():
     from firecode_tpu.opt.fire import optimize_batch
     from firecode_tpu.opt.saddle import saddle_refine
 
-    z, x44 = fx.biphenyl(44.0)
-    calc = GFNFF(z, x44)
-    res = optimize_batch(calc, jnp.asarray(x44)[None], fmax=0.05, max_steps=3000)
+    z, x0 = fx.dimethylbiphenyl(70.0)
+    calc = GFNFF(z, x0)
+    res = optimize_batch(calc, jnp.asarray(x0)[None], fmax=0.05, max_steps=4000)
     xmin = np.asarray(res.coords[0])
     emin = float(res.energy[0])
-    quad = np.array([2, 0, 11, 13], np.int32)
+    quad = np.array([1, 0, 11, 12], np.int32)
     phi = float(dihedral(jnp.asarray(xmin)[quad][None])[0])
     folded = min(abs(phi), 180.0 - abs(phi))
-    assert 10.0 < folded < 88.0  # twisted equilibrium
+    assert 20.0 < folded < 88.0  # strongly twisted equilibrium
 
-    mask = np.zeros(22, bool)
-    mask[11:] = True
-    x90 = np.asarray(
+    # anti-planar passage: ring B (+ its methyl) rigid-rotated, then relaxed
+    # with the inter-ring dihedral held at 180, then EF saddle polish
+    mask = np.zeros(len(z), bool)
+    mask[11:22] = True
+    mask[25:28] = True  # ring B methyl hydrogens
+    x180 = np.asarray(
         rotate_dihedral(
             jnp.asarray(xmin)[None], jnp.asarray(quad),
-            jnp.asarray([90.0 - phi]), jnp.asarray(mask),
+            jnp.asarray([180.0 - phi]), jnp.asarray(mask),
         )
     )[0]
     cons = Constraints()
-    cons.add_dihedral([int(q) for q in quad], 90.0)
+    cons.add_dihedral([int(q) for q in quad], 180.0)
     pre = optimize_batch(
-        calc, jnp.asarray(x90)[None], constraints=cons, fmax=0.3, max_steps=1500
+        calc, jnp.asarray(x180)[None], constraints=cons, fmax=0.3, max_steps=2000
     )
     sres = saddle_refine(
-        calc, np.asarray(pre.coords[0]), fmax=0.3, max_steps=100,
+        calc, np.asarray(pre.coords[0]), fmax=0.3, max_steps=150,
         trust_radius=0.05,
     )
     assert sres.converged
     phi_ts = float(dihedral(jnp.asarray(sres.coords)[quad][None])[0])
-    assert abs(abs(phi_ts) - 90.0) < 12.0  # the perpendicular saddle
-    assert sres.energy > emin  # a real barrier above the twisted minimum
+    assert min(abs(phi_ts), 180.0 - abs(phi_ts)) > 88.0 or abs(abs(phi_ts) - 180.0) < 25.0
+    barrier = sres.energy - emin
+    assert 3.0 < barrier < 60.0  # hindered-rotation barrier (exp ~17-20)
+
+
