@@ -203,7 +203,10 @@ def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
     r6 = r2m * r2m * r2m
     r0_6 = disp_r0**6
     r0_8 = r0_6 * disp_r0 * disp_r0
-    edisp = -top.disp_mask * top.c6 * (
+    # 1-2/1-3 pairs are excluded from dispersion (standard FF convention):
+    # with a fitted BJ radius, bonded-range -C6/r^6 slopes acted as a bond
+    # compressor (every C-C relaxed ~0.05 A short of its anchored r0)
+    edisp = -top.mask_nb * top.c6 * (
         p["s6"] / (r6 + r0_6) + p["s8"] * disp_r0**2 / (r6 * r2m + r0_8)
     )
     e = e + 0.5 * jnp.sum(erep + edisp)

@@ -99,7 +99,11 @@ class MLIPCalculator(Calculator):
     @classmethod
     def load(cls, path: str, atomnos: np.ndarray) -> "MLIPCalculator":
         data = np.load(path)
-        return cls({k: data[k] for k in data.files}, atomnos)
+        # "__"-prefixed entries are checkpoint metadata (teacher provenance,
+        # corpus size), not parameters
+        return cls(
+            {k: data[k] for k in data.files if not k.startswith("__")}, atomnos
+        )
 
 
 def distill(

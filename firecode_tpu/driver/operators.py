@@ -56,6 +56,8 @@ def operate(filename: str, operator: str, embedder) -> str | None:
         "freq": freq_operator,
         "thermo": freq_operator,
         "pka": pka_operator,
+        # native batched metadynamics (no external binary needed)
+        "mtd_native": mtd_native_operator,
         # external engines (gated)
         "mtd": crest_operator,
         "mtd_search": crest_operator,
@@ -172,6 +174,51 @@ def csearch_operator(filename: str, embedder, keep_hb: bool = False) -> str:
 
 def csearch_hb_operator(filename: str, embedder) -> str:
     return csearch_operator(filename, embedder, keep_hb=True)
+
+
+def mtd_native_operator(filename: str, embedder) -> str:
+    """Native batched RMSD metadynamics conformer search (mtd_native>).
+
+    The reference outsources metadynamics to the CREST binary
+    (firecode/interfaces/crest.py:444); here W biased walkers run as one
+    batched device program (md/metadynamics.py), and the deposited
+    snapshots go through the standard optimize -> energy-sort -> cascade
+    refinement. A capability the per-process CPU reference cannot express."""
+    from firecode_tpu.md.metadynamics import run_mtd
+    from firecode_tpu.opt import optimize_batch
+    from firecode_tpu.prune import prune_by_moi, prune_by_rmsd
+
+    mol = _mol_for(filename, embedder)
+    calc = _get_calc(embedder, mol)
+    embedder.log(f"--> mtd_native> batched metadynamics on {filename}")
+    pool = run_mtd(
+        calc, mol.atomnos, mol.coords[0],
+        n_walkers=8, n_steps=3000, dep_every=150,
+    )
+    embedder.log(f"    {len(pool)} biased snapshots from 8 walkers")
+
+    constrained = _internal_constraints_for(filename, embedder)
+    cons = _constraints_object(mol, constrained, embedder)
+    res = optimize_batch(calc, pool, constraints=cons, fmax=0.05, max_steps=3000)
+    confs = np.asarray(res.coords, dtype=np.float64)[np.asarray(res.converged)]
+    energies = np.asarray(res.energy, dtype=np.float64)[np.asarray(res.converged)]
+    order = np.argsort(energies)
+    confs, energies = confs[order], energies[order]
+    if len(confs):
+        keep = prune_by_moi(confs, mol.atomnos, energies=energies)
+        confs, energies = confs[keep], energies[keep]
+        keep = prune_by_rmsd(
+            confs, mol.atomnos, rmsd_thr=embedder.options.rmsd, energies=energies
+        )
+        confs, energies = confs[keep], energies[keep]
+    n_out = min(len(confs), embedder.options.max_confs)
+    confs, energies = confs[:n_out], energies[:n_out]
+
+    outname = f"{Path(filename).stem}_mtd.xyz"
+    write_xyz(outname, mol.atoms, confs, energies=energies - energies.min() if len(confs) else None,
+              title=Path(filename).stem)
+    embedder.log(f"    Wrote {len(confs)} conformers to {outname}")
+    return outname
 
 
 def rsearch_operator(filename: str, embedder) -> str:

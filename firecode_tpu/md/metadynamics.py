@@ -1,0 +1,162 @@
+"""Native batched RMSD metadynamics (the capability the reference outsources
+to the CREST binary, firecode/interfaces/crest.py:444).
+
+CREST/xtb-style MTD: Langevin dynamics on E(x) + V_bias(x) where the bias is
+a sum of Gaussians in the MINIMUM-RMSD collective variable against the
+deposited reference structures,
+
+    V_bias(x) = sum_g k_push * exp( -rmsd(x, ref_g)^2 / (2 alpha^2) ),
+
+so visited basins are progressively pushed out of. The RMSD is the QCP
+kernel (ops/rmsd.py), which is smooth and differentiable — the bias force
+comes from plain autodiff through the Newton iteration, and rotation/
+translation invariance of the CV is inherited from min-RMSD itself.
+
+TPU-first design: W walkers run as ONE jitted batched program (vmapped
+Langevin + per-walker Gaussian history in device memory), something the
+CPU reference cannot express — CREST runs trajectories as separate
+processes. Deposited snapshots come back as a conformer ensemble that the
+standard cascade + optimizer then refines (mtd_native> operator,
+driver/operators.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from firecode_tpu.calculators.base import Calculator
+from firecode_tpu.ops.rmsd import (
+    _pairwise_correlation,
+    _qcp_lambda_max,
+    center_coords,
+)
+from firecode_tpu.pt import MASSES
+
+_KB = 0.001987204259  # kcal/(mol K)
+_FS = 1.0 / 48.8882  # fs -> internal time unit sqrt(amu A^2 / (kcal/mol))
+
+
+def _bias_energy(x, hist_w, n_alive, k_push, alpha, n_gauss):
+    """Sum of RMSD Gaussians against the live part of one walker's history.
+
+    Evaluated in SQUARED min-RMSD: the Gaussian only needs rmsd^2, and
+    d(rmsd)/dx is singular exactly at a Gaussian center (the walker sits on
+    its own just-deposited reference every deposit step) — the square keeps
+    the bias force smooth there."""
+    ac, ga, wsum = center_coords(x[None])
+    bc, gb, _ = center_coords(hist_w)
+    s = _pairwise_correlation(ac, bc)
+    lam = _qcp_lambda_max(s, ga[:, None], gb[None, :])
+    rm2 = jnp.maximum(ga[:, None] + gb[None, :] - 2.0 * lam, 0.0)[0] / wsum  # [G]
+    alive = jnp.arange(n_gauss) < n_alive
+    return jnp.sum(
+        jnp.where(alive, k_push * jnp.exp(-rm2 / (2.0 * alpha * alpha)), 0.0)
+    )
+
+
+@partial(jax.jit, static_argnames=("calc", "n_steps", "dep_every", "n_gauss"))
+def _mtd_run(
+    coords_w, masses, key, T, dt, gamma, k_push, alpha,
+    calc: Calculator, n_steps: int, dep_every: int, n_gauss: int,
+):
+    """Batched MTD: [W, N, 3] walkers, per-walker Gaussian history."""
+    w, n, _ = coords_w.shape
+    inv_m = 1.0 / masses[:, None]
+    c1 = jnp.exp(-gamma * dt)
+    c2 = jnp.sqrt((1.0 - c1 * c1) * _KB * T)
+
+    def total_e(x, hist_w, n_alive):
+        return calc.energy_one(x) + _bias_energy(
+            x, hist_w, n_alive, k_push, alpha, n_gauss
+        )
+
+    grad_e = jax.grad(total_e)
+
+    def forces(xs, hist, n_alive):
+        return -jax.vmap(lambda x, h: grad_e(x, h, n_alive))(xs, hist)
+
+    hist0 = jnp.zeros((w, n_gauss, n, 3), coords_w.dtype)
+    hist0 = hist0.at[:, 0].set(coords_w)
+
+    def step(carry, i):
+        x, v, hist, key = carry
+        n_alive = i // dep_every + 1
+        f = forces(x, hist, n_alive)
+        v = v + 0.5 * dt * f * inv_m
+        x = x + 0.5 * dt * v
+        key, sub = jax.random.split(key)
+        v = c1 * v + c2 * jnp.sqrt(inv_m) * jax.random.normal(sub, x.shape, x.dtype)
+        x = x + 0.5 * dt * v
+        f = forces(x, hist, n_alive)
+        v = v + 0.5 * dt * f * inv_m
+        # deposit a new Gaussian every dep_every steps (ring-free: capped)
+        slot = jnp.minimum(n_alive, n_gauss - 1)
+        do_dep = (i % dep_every) == (dep_every - 1)
+        hist = jnp.where(
+            do_dep,
+            hist.at[:, slot].set(x),
+            hist,
+        )
+        return (x, v, hist, key), None
+
+    v0 = jnp.zeros_like(coords_w)
+    (x, v, hist, key), _ = jax.lax.scan(
+        step, (coords_w, v0, hist0, key), jnp.arange(n_steps)
+    )
+    n_dep = min(n_steps // dep_every + 1, n_gauss)
+    return x, hist, n_dep
+
+
+def run_mtd(
+    calc: Calculator,
+    atomnos: np.ndarray,
+    coords: np.ndarray,
+    n_walkers: int = 8,
+    n_steps: int = 3000,
+    dep_every: int = 150,
+    k_push: float = 3.0,
+    alpha: float = 0.6,
+    temperature: float = 500.0,
+    dt_fs: float = 1.0,
+    gamma_fs: float = 0.02,
+    seed: int = 0,
+    jitter: float = 0.02,
+) -> np.ndarray:
+    """Run batched RMSD metadynamics; returns the deposited snapshot
+    ensemble [W * n_deposits, N, 3] (unoptimized — feed it to the cascade
+    + optimizer like any raw conformer pool).
+
+    coords: one structure [N, 3] (walkers start from jittered copies) or a
+    walker batch [W, N, 3]. k_push (kcal/mol) and alpha (A) follow CREST's
+    k/alpha roles; temperature defaults high (500 K) for basin hopping.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    if coords.ndim == 2:
+        rng = np.random.default_rng(seed)
+        coords = coords[None] + jitter * rng.normal(
+            size=(n_walkers, *coords.shape)
+        )
+    w = coords.shape[0]
+    n_gauss = n_steps // dep_every + 1
+    masses = jnp.asarray(MASSES[np.asarray(atomnos)])
+    key = jax.random.PRNGKey(seed)
+    _, hist, n_dep = _mtd_run(
+        jnp.asarray(coords),
+        masses,
+        key,
+        jnp.asarray(float(temperature)),
+        jnp.asarray(dt_fs * _FS),
+        jnp.asarray(gamma_fs / _FS),
+        jnp.asarray(float(k_push)),
+        jnp.asarray(float(alpha)),
+        calc,
+        int(n_steps),
+        int(dep_every),
+        int(n_gauss),
+    )
+    out = np.asarray(hist[:, :n_dep]).reshape(w * n_dep, *coords.shape[1:])
+    return out

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-_NEWTON_ITERS = 24
+_NEWTON_ITERS = 16
 BK = 256
 BL = 256
 # the quaternion-emitting kernel carries ~3x more live planes (key-matrix

@@ -29,7 +29,7 @@ from jax import lax
 
 from firecode_tpu.ops.algebra import quaternion_to_matrix
 
-_NEWTON_ITERS = 24
+_NEWTON_ITERS = 16
 
 
 def center_coords(

@@ -227,3 +227,21 @@ def test_neb_operator_mep_guess_from_many_frames(rundir):
     assert (rundir / "hx_TS.xyz").exists()
     _, ts, _ = read_xyz(rundir / "hx_TS.xyz")
     assert ts.shape == (1, 3, 3)  # single band
+
+
+@pytest.mark.operator
+def test_mtd_native_operator_run(rundir):
+    """mtd_native> through the full driver: batched metadynamics -> refined
+    conformer ensemble (the CREST-free MTD path, VERDICT r2 item 10)."""
+    atomnos, coords = build_alkane(4)
+    run_input(
+        rundir,
+        "NOOPT CALC=GFNFF\nmtd_native> but.xyz\n",
+        {"but.xyz": (atomnos, coords[None])},
+    )
+    out = rundir / "but_mtd.xyz"
+    assert out.exists()
+    from firecode_tpu.ensemble import Ensemble
+
+    ens = Ensemble.from_xyz(str(out))
+    assert len(ens.coords) >= 2  # found more than the input basin
