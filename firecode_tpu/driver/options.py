@@ -98,7 +98,7 @@ class Options:
     ff_opt: bool = True
     freq: bool = False
     calculator: str = field(
-        default_factory=lambda: os.environ.get("FIRECODE_TPU_CALCULATOR", "LITEFF")
+        default_factory=lambda: os.environ.get("FIRECODE_TPU_CALCULATOR", "GFNFF")
     )
     theory_level: str | None = None
     solvent: str | None = None

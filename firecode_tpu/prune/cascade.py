@@ -496,9 +496,10 @@ def _make_moi_sim(rel_tol, max_dE) -> SimFn:
     return sim_fn
 
 
-@partial(jax.jit, static_argnames=("block", "has_energies"))
+@partial(jax.jit, static_argnames=("block", "has_energies", "full_column"))
 def _prune_moi_device(
-    coords, masses, energies, rel_tol, max_dE, block: int, has_energies: bool
+    coords, masses, energies, rel_tol, max_dE, block: int, has_energies: bool,
+    full_column: bool = True,
 ) -> jnp.ndarray:
     # masses of padded atoms are zero, so they contribute nothing to the
     # inertia tensor — atom_mask support is mass-zeroing (see prune_by_moi)
@@ -509,7 +510,8 @@ def _prune_moi_device(
         feats["energies"] = energies
     feats, valid, _ = _pad_block(feats, b, block)
     return _blockwise_greedy(
-        feats, valid, _make_moi_sim(rel_tol, max_dE), block, full_column=True
+        feats, valid, _make_moi_sim(rel_tol, max_dE), block,
+        full_column=full_column,
     )[:b]
 
 
@@ -557,6 +559,10 @@ def prune_by_moi(
         jnp.asarray(max_dE, coords.dtype),
         block,
         has_energies,
+        # the full-column engine recomputes every row block's similarity
+        # against ALL columns (half of them later, i.e. wasted); at very
+        # large ensembles the triangular column-loop path halves the work
+        full_column=b <= 131072,
     )
     return np.asarray(keep)
 

@@ -12,9 +12,11 @@ import os
 from pathlib import Path
 
 ENV_VARS: dict[str, str] = {
-    # native batched JAX calculator (LITEFF) is the default; XTB uses the
-    # external xtb binary through the host escape hatch if present
-    "FIRECODE_TPU_CALCULATOR": "LITEFF",
+    # the generated GFN-FF (literature-anchored, ACCURACY.json) is the
+    # default calculator — the reference's default is likewise a GFN-class
+    # method (TBLITE/GFN2 via external binaries, firecode/settings.py);
+    # LITEFF remains the fast classical option, XTB the host escape hatch
+    "FIRECODE_TPU_CALCULATOR": "GFNFF",
     "FIRECODE_TPU_DEFAULT_LEVEL_LITEFF": "LiteFF",
     "FIRECODE_TPU_DEFAULT_LEVEL_XTB": "GFN2-xTB",
     "FIRECODE_TPU_XTB_PATH": "xtb",
