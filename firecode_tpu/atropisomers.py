@@ -74,25 +74,27 @@ def fine_rescan(
     from firecode_tpu.opt.constraints import Constraints
     from firecode_tpu.prune.oracle import np_dihedral
 
+    from firecode_tpu.opt.constraints import per_lane_restraint_calc
+
     quad = tuple(int(x) for x in quadruplet)
     x = np.asarray(frame, dtype=np.float64)
     phi_peak = np_dihedral(x[list(quad)])
     offsets = np.arange(-half_width, half_width + step / 2, step)
-    energies = np.empty(len(offsets))
-    frames = np.empty((len(offsets), *x.shape))
-    # independent restrained relaxations, all started from the peak frame
-    # (per-lane constraint targets are not batched, so this is a short loop
-    # of small device calls rather than one batch)
-    for i, off in enumerate(offsets):
-        cons = Constraints().add_dihedral(quad, phi_peak + off, k=k_dihedral)
-        res = optimize_batch(calc, x, constraints=cons, fmax=fmax, max_steps=400)
-        frames[i] = np.asarray(res.coords, dtype=np.float64)
+    # ONE batched device program: every fine point is a lane with its own
+    # dihedral target (per-lane restraints), instead of a loop of per-point
+    # compiles + small device calls
+    scan_calc = per_lane_restraint_calc(
+        calc, "dihedral", quad, phi_peak + offsets, k=k_dihedral
+    )
+    start = np.broadcast_to(x, (len(offsets), *x.shape))
+    res = optimize_batch(scan_calc, start, fmax=fmax, max_steps=400)
+    frames = np.asarray(res.coords, dtype=np.float64)
     # rank by the BARE surface energy: the optimizer's composed energy
     # includes the dihedral restraint penalty, which is larger on steep
     # shoulders and could out-score the true barrier top
     import jax.numpy as jnp
 
-    energies[:] = np.asarray(calc.energy(jnp.asarray(frames)), dtype=np.float64)
+    energies = np.asarray(calc.energy(jnp.asarray(frames)), dtype=np.float64)
     best = int(np.argmax(energies))
     return frames[best], float(phi_peak + offsets[best]), energies
 

@@ -172,3 +172,63 @@ class Constraints:
             coords[..., d_i[:, 0], :] - coords[..., d_i[:, 1], :], axis=-1
         )
         return jnp.abs(d - d_eq)
+
+
+def per_lane_restraint_calc(calc, kind: str, indices, targets, k: float = 150.0):
+    """Calculator whose lane b restrains `indices` toward targets[b].
+
+    Batches relaxed scans into ONE device program: every lane of a
+    [B, N, 3] batch relaxes under its OWN restraint target (e.g. all fine
+    re-scan points of an atropisomer peak at once) — the reference, and the
+    plain Constraints object, hold one scalar target per program.
+
+    kind: "dihedral" (indices = quadruplet, targets in degrees; periodic
+    1 - cos(phi - phi0) well like Constraints.add_dihedral) or "distance"
+    (indices = pair, targets in Angstrom; harmonic).
+    """
+    import jax
+
+    from firecode_tpu.calculators.base import Calculator
+    from firecode_tpu.ops.algebra import dihedral as _dih
+
+    idx = np.asarray(indices, dtype=np.int32)
+    tgt = jnp.asarray(np.asarray(targets, dtype=np.float64))
+
+    if kind == "dihedral":
+        phi0 = jnp.radians(tgt)
+
+        def e_one(coords, phi0_b):
+            phi = jnp.radians(_dih(coords[idx][None])[0])
+            return calc.energy_one(coords) + k * (1.0 - jnp.cos(phi - phi0_b))
+
+        lane_tgt = phi0
+    elif kind == "distance":
+
+        def e_one(coords, d0_b):
+            d = jnp.linalg.norm(coords[idx[0]] - coords[idx[1]])
+            return calc.energy_one(coords) + 0.5 * k * (d - d0_b) ** 2
+
+        lane_tgt = tgt
+    else:
+        raise ValueError(f"unknown per-lane restraint kind {kind!r}")
+
+    class _PerLane(Calculator):
+        def __init__(self):
+            super().__init__(lambda c: c, name=f"{calc.name}+{kind}-scan")
+
+        def energy(self, coords):
+            return jax.vmap(e_one)(jnp.asarray(coords), lane_tgt)
+
+        def energy_and_forces(self, coords):
+            e, g = jax.vmap(jax.value_and_grad(e_one))(
+                jnp.asarray(coords), lane_tgt
+            )
+            return e, -g
+
+        def energy_one(self, coords):
+            raise NotImplementedError(
+                "per-lane restraint calculators are inherently batched: lane "
+                "b carries target b — evaluate [B, N, 3] batches"
+            )
+
+    return _PerLane()

@@ -113,3 +113,25 @@ def test_prune_rot_corr_with_atom_mask():
         ensp, zp, permutations=permp[None], rmsd_thr=0.5, atom_mask=mask, block=8
     )
     np.testing.assert_array_equal(keep_ref, keep_pad)
+
+
+def test_per_lane_restraints_match_separate_runs():
+    """Per-lane constraint targets (the batched-scan engine): one device
+    program over B targets reproduces B separate restrained runs."""
+    from firecode_tpu.calculators.gfnff import GFNFF, fixtures as fx
+    from firecode_tpu.opt.constraints import Constraints, per_lane_restraint_calc
+
+    z, x = fx.butane()
+    calc = GFNFF(z, x)
+    quad = (0, 1, 2, 3)
+    targets = np.array([150.0, 165.0, 180.0])
+    scan_calc = per_lane_restraint_calc(calc, "dihedral", quad, targets, k=100.0)
+    start = np.broadcast_to(x, (3, *x.shape)).copy()
+    res_b = optimize_batch(scan_calc, jnp.asarray(start), fmax=0.1, max_steps=600)
+    for i, t in enumerate(targets):
+        cons = Constraints().add_dihedral(quad, float(t), k=100.0)
+        res_i = optimize_batch(calc, jnp.asarray(x)[None], constraints=cons,
+                               fmax=0.1, max_steps=600)
+        e_b = float(calc.energy(res_b.coords[i]))
+        e_i = float(calc.energy(res_i.coords[0]))
+        assert abs(e_b - e_i) < 0.2, (i, e_b, e_i)
