@@ -443,9 +443,11 @@ def prune_by_rmsd_rot_corr(
     permutations = np.asarray(permutations, dtype=np.int32)
     if permutations.size == 0:
         return prune_by_rmsd(
-            coords, atomnos, rmsd_thr, energies, max_dE, use_maxdev, block, mesh=mesh
+            coords, atomnos, rmsd_thr, energies, max_dE, use_maxdev, block,
+            atom_mask=atom_mask, mesh=mesh,
         )
-    if mesh is not None and mesh.devices.size > 1:
+    if mesh is not None and mesh.devices.size > 1 and atom_mask is None:
+        # sharded engine has no atom-mask support; see prune_by_moi
         from firecode_tpu.parallel.sharded_prune import prune_by_rmsd_rot_corr_sharded
 
         return prune_by_rmsd_rot_corr_sharded(
@@ -534,7 +536,9 @@ def prune_by_moi(
     b = coords.shape[0]
     if b <= 1:
         return np.ones(b, dtype=bool)
-    if mesh is not None and mesh.devices.size > 1:
+    if mesh is not None and mesh.devices.size > 1 and atom_mask is None:
+        # (the sharded engine does not take an atom mask; masked/bucketed
+        # ensembles run the single-device path rather than dropping the mask)
         from firecode_tpu.parallel.sharded_prune import prune_by_moi_sharded
 
         return prune_by_moi_sharded(
