@@ -71,10 +71,8 @@ def fine_rescan(
     their own dihedral restraint — one batched device call, not a sweep.
     Returns (best_frame, best_angle, energies)."""
     from firecode_tpu.opt import optimize_batch
-    from firecode_tpu.opt.constraints import Constraints
-    from firecode_tpu.prune.oracle import np_dihedral
-
     from firecode_tpu.opt.constraints import per_lane_restraint_calc
+    from firecode_tpu.prune.oracle import np_dihedral
 
     quad = tuple(int(x) for x in quadruplet)
     x = np.asarray(frame, dtype=np.float64)

@@ -49,3 +49,44 @@ class Calculator:
         """New calculator adding an energy term (constraint penalty, bias...)."""
         base = self._energy_fn
         return Calculator(lambda c: base(c) + extra_fn(c), name or self.name)
+
+
+class BatchedCalculator(Calculator):
+    """Base for INHERENTLY batched calculators: lane b of a [B, N, 3] batch
+    carries its own state (its own molecule's topology, its own restraint
+    target), so there is no meaningful per-structure energy function.
+
+    Subclasses override energy/energy_and_forces on full batches;
+    energy_one raises, and with_extra composes a per-structure extra term
+    LANE-WISE (so penalty constraints / solvation still work) instead of
+    silently wrapping the raw batched closure into a per-structure
+    Calculator (which would vmap batch-shaped tables over single
+    structures and produce shape errors or wrong energies)."""
+
+    def __init__(self, name: str = "batched-calc"):
+        super().__init__(self._no_single_structure, name)
+
+    def _no_single_structure(self, coords):
+        raise NotImplementedError(
+            f"{self.name} is inherently batched (per-lane state): evaluate "
+            "[B, N, 3] batches via .energy()/.energy_and_forces()"
+        )
+
+    def energy_one(self, coords):
+        self._no_single_structure(coords)
+
+    def with_extra(self, extra_fn: Callable[[jnp.ndarray], jnp.ndarray], name: str | None = None) -> "Calculator":
+        parent = self
+
+        class _WithExtra(BatchedCalculator):
+            def energy(self, coords):
+                coords = jnp.asarray(coords)
+                return parent.energy(coords) + jax.vmap(extra_fn)(coords)
+
+            def energy_and_forces(self, coords):
+                coords = jnp.asarray(coords)
+                e_p, f_p = parent.energy_and_forces(coords)
+                e_e, g_e = jax.vmap(jax.value_and_grad(extra_fn))(coords)
+                return e_p + e_e, f_p - g_e
+
+        return _WithExtra(name or self.name)

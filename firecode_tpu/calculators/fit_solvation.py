@@ -101,16 +101,17 @@ def alpb_mad_by_solvent() -> dict:
         return {}
     from firecode_tpu.calculators.solvation import solvation_energy_fn
     from firecode_tpu.calculators.xtb_io import xtb_energy_and_gradient
-    from firecode_tpu.solvents import xtb_solvent_names
+    from firecode_tpu.solvents import get_xtb_solvent_name, xtb_solvent_names
 
     out = {}
     cases = _cases()
     for solvent in xtb_solvent_names:
+        xtb_name = get_xtb_solvent_name(solvent)  # xtb's own ALPB spelling
         errs = []
         for name, (z, x) in cases.items():
             try:
                 e_gas, _ = xtb_energy_and_gradient(z, np.asarray(x))
-                e_sol, _ = xtb_energy_and_gradient(z, np.asarray(x), solvent=solvent)
+                e_sol, _ = xtb_energy_and_gradient(z, np.asarray(x), solvent=xtb_name)
             except Exception:
                 continue
             native = float(solvation_energy_fn(z, solvent)(x))

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from firecode_tpu.calculators.base import Calculator
+from firecode_tpu.calculators.base import BatchedCalculator, Calculator
 from firecode_tpu.graphs import graphize
 from firecode_tpu.ops.algebra import dihedral
 from firecode_tpu.pt import COVALENT_RADII, MAX_Z
@@ -425,18 +425,18 @@ def build_stacked_topology(
     ])
 
 
-class StackedLiteFF(Calculator):
+class StackedLiteFF(BatchedCalculator):
     """LiteFF over a batch of DIFFERENT molecules: lane b of a [S, N, 3]
     coordinate batch is evaluated with lane b's own padded topology.
 
     Use with calculators.forcefield.pad_systems + opt.fire.optimize_batch's
     atom_mask to run one device program over mixed-size inputs (the
-    reference processes multiple input files serially)."""
+    reference processes multiple input files serially). Inherently batched
+    (BatchedCalculator): constraint penalties compose lane-wise."""
 
     def __init__(self, systems, charges=None, n_pad: int | None = None):
         self.topology = build_stacked_topology(systems, charges, n_pad)
-        top = self.topology
-        super().__init__(lambda c: ff_energy(c, top), name="liteff-stacked")
+        super().__init__(name="liteff-stacked")
 
     def energy(self, coords: jnp.ndarray) -> jnp.ndarray:
         import jax
@@ -450,12 +450,6 @@ class StackedLiteFF(Calculator):
         top = self.topology
         e, g = jax.vmap(jax.value_and_grad(ff_energy))(jnp.asarray(coords), top)
         return e, -g
-
-    def energy_one(self, coords: jnp.ndarray) -> jnp.ndarray:
-        raise NotImplementedError(
-            "StackedLiteFF is inherently batched: lane k uses molecule k's "
-            "topology — evaluate [S, N, 3] batches via .energy()"
-        )
 
 
 class LiteFF(Calculator):

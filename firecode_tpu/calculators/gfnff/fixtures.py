@@ -170,8 +170,7 @@ def water_dimer() -> tuple[np.ndarray, np.ndarray]:
     # donor: O on +x, one H pointing straight at the acceptor O
     od = np.array([2.912, 0, 0])
     h1 = od + 0.9572 * np.array([-1.0, 0, 0])
-    h2 = od + 0.9572 * np.array([np.cos(np.pi - th), np.sin(np.pi - th), 0]) * -1.0
-    h2 = od + 0.9572 * np.array([np.cos(th) * 1.0, np.sin(th), 0])
+    h2 = od + 0.9572 * np.array([np.cos(th), np.sin(th), 0])
     return np.array([8, 1, 1, 8, 1, 1]), np.vstack([xa, od, h1, h2])
 
 

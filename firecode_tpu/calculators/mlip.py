@@ -346,9 +346,9 @@ def distill_systems(
     return params
 
 
-def _chno_training_systems(teacher_factory=None) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Small CHNO molecules, teacher-relaxed, for the bundled checkpoint."""
-    from firecode_tpu.calculators.reactive_ff import ReactiveFF
+def _chno_training_systems() -> list[tuple[np.ndarray, np.ndarray]]:
+    """Small CHNO molecules, natively pre-relaxed, for the bundled
+    checkpoint (labels come from the selected teacher at distillation)."""
     from firecode_tpu.opt.fire import optimize_batch
     from firecode_tpu.sample_molecules import build_alkane
 
@@ -408,11 +408,16 @@ def _chno_training_systems(teacher_factory=None) -> list[tuple[np.ndarray, np.nd
         ]),
     ))
 
-    if teacher_factory is None:
-        teacher_factory = lambda z, c: ReactiveFF(z)
+    # pre-relax with the native GFN-FF regardless of the teacher: a host-
+    # subprocess teacher (XTBHostCalculator) cannot run inside the jitted
+    # FIRE while_loop (its energy_and_forces needs concrete arrays), and the
+    # teacher then labels the (slightly off-minimum) geometries it is handed
+    # — exactly the regime the jitter/torsion/stretch augmentation samples
+    from firecode_tpu.calculators.gfnff import GFNFF
+
     systems = []
     for z, coords in raw:
-        calc = teacher_factory(np.asarray(z), np.asarray(coords, dtype=np.float64))
+        calc = GFNFF(np.asarray(z), np.asarray(coords, dtype=np.float64))
         res = optimize_batch(calc, coords[None].astype(np.float64), fmax=0.05, max_steps=2000)
         systems.append((z, np.asarray(res.coords[0], dtype=np.float64)))
     return systems
@@ -452,7 +457,7 @@ def train_default_checkpoint(
 
     teacher_name, factory = pick_teacher(teacher)
     logfunction(f"  teacher: {teacher_name}")
-    systems = _chno_training_systems(factory)
+    systems = _chno_training_systems()
     params = distill_systems(factory, systems, logfunction=logfunction)
     path = path or DEFAULT_CHECKPOINT
     Path(path).parent.mkdir(parents=True, exist_ok=True)

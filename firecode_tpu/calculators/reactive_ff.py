@@ -291,8 +291,21 @@ def reactive_energy_terms(coords: jnp.ndarray, params: ReactiveParams) -> dict:
     # the pi well (PI_TWIST) switches off on twisting. This is what gives
     # alkene/amide/biaryl rotation real barriers (VERDICT r2 item 6);
     # terminal-pi pairs (C=O) have M=0 on one side and are unaffected.
-    m_vec = jnp.cross(un[:, :, None, :], un[:, None, :, :])  # [j, k, i, 3]
-    m_big = jnp.einsum("ji,jkia,jkib->jkab", bo, m_vec, m_vec)  # [j, k, 3, 3]
+    # O(N^2) form: with m = u_jk x u_ji = S(u_jk) u_ji (S = skew matrix),
+    # M_j^(k) = sum_i bo_ji m m^T = S(u_jk) P_j S(u_jk)^T where
+    # P_j = sum_i bo_ji u_ji u_ji^T is per-ATOM — the naive [j, k, i, 3]
+    # cross tensor is cubic in N and OOMs NEB/saddle batches past ~150 atoms
+    zeros = jnp.zeros_like(un[..., 0])
+    skew = jnp.stack(
+        [
+            jnp.stack([zeros, -un[..., 2], un[..., 1]], axis=-1),
+            jnp.stack([un[..., 2], zeros, -un[..., 0]], axis=-1),
+            jnp.stack([-un[..., 1], un[..., 0], zeros], axis=-1),
+        ],
+        axis=-2,
+    )  # [j, k, 3, 3], skew @ v = u_jk x v
+    p_tens = jnp.einsum("ji,jia,jib->jab", bo, un, un)  # [j, 3, 3]
+    m_big = jnp.einsum("jkab,jbc,jkdc->jkad", skew, p_tens, skew)
     align_num = jnp.einsum("jkab,kjab->jk", m_big, m_big)
     m_norm = jnp.sqrt(jnp.einsum("jkab,jkab->jk", m_big, m_big) + 1e-18)
     align = align_num / (m_norm * m_norm.T + 1e-9)

@@ -215,8 +215,11 @@ def mtd_native_operator(filename: str, embedder) -> str:
     confs, energies = confs[:n_out], energies[:n_out]
 
     outname = f"{Path(filename).stem}_mtd.xyz"
-    write_xyz(outname, mol.atoms, confs, energies=energies - energies.min() if len(confs) else None,
-              title=Path(filename).stem)
+    from firecode_tpu.units import KCAL_TO_EH
+
+    # write_xyz labels frame energies in Eh — convert the relative kcal/mol
+    rel_eh = (energies - energies.min()) * KCAL_TO_EH if len(confs) else None
+    write_xyz(outname, mol.atoms, confs, energies=rel_eh, title=Path(filename).stem)
     embedder.log(f"    Wrote {len(confs)} conformers to {outname}")
     return outname
 

@@ -188,7 +188,7 @@ def per_lane_restraint_calc(calc, kind: str, indices, targets, k: float = 150.0)
     """
     import jax
 
-    from firecode_tpu.calculators.base import Calculator
+    from firecode_tpu.calculators.base import BatchedCalculator
     from firecode_tpu.ops.algebra import dihedral as _dih
 
     idx = np.asarray(indices, dtype=np.int32)
@@ -212,9 +212,9 @@ def per_lane_restraint_calc(calc, kind: str, indices, targets, k: float = 150.0)
     else:
         raise ValueError(f"unknown per-lane restraint kind {kind!r}")
 
-    class _PerLane(Calculator):
+    class _PerLane(BatchedCalculator):
         def __init__(self):
-            super().__init__(lambda c: c, name=f"{calc.name}+{kind}-scan")
+            super().__init__(name=f"{calc.name}+{kind}-scan")
 
         def energy(self, coords):
             return jax.vmap(e_one)(jnp.asarray(coords), lane_tgt)
@@ -224,11 +224,5 @@ def per_lane_restraint_calc(calc, kind: str, indices, targets, k: float = 150.0)
                 jnp.asarray(coords), lane_tgt
             )
             return e, -g
-
-        def energy_one(self, coords):
-            raise NotImplementedError(
-                "per-lane restraint calculators are inherently batched: lane "
-                "b carries target b — evaluate [B, N, 3] batches"
-            )
 
     return _PerLane()

@@ -39,6 +39,11 @@ references: dict[str, str] = {
         "Still, W. C. et al. J. Am. Chem. Soc. 1990, 112, 6127-6129 "
         "(Generalized Born solvation)"
     ),
+    "GFNFF": (
+        "Spicher, S.; Grimme, S. Angew. Chem. Int. Ed. 2020, 59, 15665 "
+        "(GFN-FF term structure; parameters re-derived in-repo, see "
+        "calculators/gfnff/params.py)"
+    ),
     "XTB": (
         "Bannwarth, C. et al. WIREs Comput. Mol. Sci. 2021, 11, e1493 "
         "(xtb external engine)"
@@ -73,6 +78,8 @@ references: dict[str, str] = {
 def references_for_options(options) -> list[str]:
     """Select citations based on the features a run uses."""
     used = ["FIRECODE-TPU", "QCP", "FIRE"]
+    if options.calculator == "GFNFF":
+        used += ["GFNFF", "QEQ", "PAULING"]
     if options.calculator == "LITEFF":
         used.append("UFF")
     if options.calculator == "LITEFF-R":
@@ -95,4 +102,7 @@ def references_for_options(options) -> list[str]:
         used.append("BERENDSEN")
     if any(("mtd" in op or "crest" in op) for op in options.operators):
         used.append("CREST")
+    if any("mtd_native" in op for op in options.operators):
+        used.append("GFNFF")  # the default MTD surface; MTD form follows CREST
+
     return [references[k] for k in dict.fromkeys(used)]

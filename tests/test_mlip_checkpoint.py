@@ -116,8 +116,12 @@ def test_bundled_checkpoint_validates_against_teacher(rng):
     from firecode_tpu.opt.fire import optimize_batch
 
     _, teacher = _bundled_teacher(z, meoh)
+    # relax with the native GFN-FF (a host xtb teacher cannot run inside the
+    # jitted FIRE loop); the teacher labels the evaluation geometries
+    from firecode_tpu.calculators.gfnff import GFNFF
+
     relaxed = np.asarray(
-        optimize_batch(teacher, meoh[None].astype(np.float32), fmax=0.05, max_steps=2000).coords[0]
+        optimize_batch(GFNFF(z, meoh), meoh[None].astype(np.float64), fmax=0.05, max_steps=2000).coords[0]
     )
     student = load_mlip(z)
     geoms = jnp.asarray(
@@ -144,8 +148,10 @@ def test_bundled_checkpoint_transfers_to_held_out_composition(rng):
          [3.1, 1.1, 0], [1.74, 1.86, 0.89], [1.74, 1.86, -0.89]]
     )
     _, teacher = _bundled_teacher(z, dme)
+    from firecode_tpu.calculators.gfnff import GFNFF
+
     relaxed = np.asarray(
-        optimize_batch(teacher, dme[None].astype(np.float32), fmax=0.05, max_steps=2000).coords[0]
+        optimize_batch(GFNFF(z, dme), dme[None].astype(np.float64), fmax=0.05, max_steps=2000).coords[0]
     )
     student = load_mlip(z)
     geoms = jnp.asarray(
