@@ -183,6 +183,17 @@ def main(argv: list[str] | None = None) -> None:
     dispatcher = Dispatcher(calc_name)
 
     rows = []
+
+    # bucketed mixed-molecule batching (SURVEY section 7 hard-part 5): plain
+    # OPT jobs over several files run as ONE device program — every
+    # (file, conformer) pair is a lane with its own padded LiteFF topology.
+    # The reference processes files serially (standalone_optimizer.py:513).
+    plain_opt = not (args.sp or args.saddle or args.freq or args.constraints)
+    if plain_opt and len(args.files) > 1 and calc_name == "LITEFF":
+        _bucketed_multifile_opt(args, rows)
+        _print_rows(rows)
+        return
+
     for filename in args.files:
         t0 = time.perf_counter()
         ens = Ensemble.from_xyz(filename)
@@ -255,13 +266,66 @@ def main(argv: list[str] | None = None) -> None:
                 f"best G = {gs.min():.3f} kcal/mol"
             )
 
-    if rows:
-        print("\n{:<20} {:>5} {:>8} {:>14} {:>9}".format(
-            "file", "conf", "job", "E (kcal/mol)", "status"
-        ))
-        print("-" * 60)
-        for name, conf, job, e, status in rows:
-            print(f"{name:<20} {conf:>5} {job:>8} {e:>14.4f} {status:>9}")
+    _print_rows(rows)
+
+
+def _print_rows(rows) -> None:
+    if not rows:
+        return
+    print("\n{:<20} {:>5} {:>8} {:>14} {:>9}".format(
+        "file", "conf", "job", "E (kcal/mol)", "status"
+    ))
+    print("-" * 60)
+    for name, conf, job, e, status in rows:
+        print(f"{name:<20} {conf:>5} {job:>8} {e:>14.4f} {status:>9}")
+
+
+def _bucketed_multifile_opt(args, rows) -> None:
+    """All files' conformers as one mixed-size batched FIRE program."""
+    import time
+
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.forcefield import StackedLiteFF, pad_systems
+    from firecode_tpu.ensemble import Ensemble
+    from firecode_tpu.io.xyz import write_xyz
+    from firecode_tpu.opt import optimize_batch
+
+    t0 = time.perf_counter()
+    lanes = []  # (file stem, conformer index within file)
+    systems = []
+    all_ens = []
+    for filename in args.files:
+        ens = Ensemble.from_xyz(filename)
+        all_ens.append((Path(filename).stem, ens))
+        for c in range(len(ens.coords)):
+            systems.append((np.asarray(ens.atomnos), np.asarray(ens.coords[c])))
+            lanes.append((Path(filename).stem, c))
+    atomnos_p, coords_p, mask = pad_systems(systems)
+    calc = StackedLiteFF(systems)
+    res = optimize_batch(
+        calc, jnp.asarray(coords_p), fmax=args.fmax, max_steps=3000,
+        atom_mask=jnp.asarray(mask),
+    )
+    coords = np.asarray(res.coords, dtype=np.float64)
+    energies = np.asarray(res.energy, dtype=np.float64)
+    conv = np.asarray(res.converged)
+    k = 0
+    for stem, ens in all_ens:
+        n_c = len(ens.coords)
+        n_real = len(ens.atomnos)
+        file_coords = coords[k : k + n_c, :n_real]
+        file_e = energies[k : k + n_c]
+        file_ok = conv[k : k + n_c]
+        order = np.argsort(file_e)
+        write_xyz(f"{stem}_opt.xyz", ens.atoms, file_coords[order], energies=None)
+        for c, (e, ok) in enumerate(zip(file_e[order], file_ok[order])):
+            rows.append((stem, c + 1, "OPT", e, "ok" if ok else "MAX ITER"))
+        k += n_c
+    print(
+        f"bucketed batch: {len(lanes)} conformers from {len(all_ens)} files "
+        f"optimized as one device program ({time.perf_counter() - t0:.1f} s)"
+    )
 
 
 if __name__ == "__main__":

@@ -22,6 +22,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 _NEWTON_ITERS = 16
+
+
+def _unify_vma(*arrays):
+    """Promote all operands to a common varying-manual-axes set.
+
+    Under shard_map the cascade hands the kernel a VARYING column block and
+    a REPLICATED (psum-broadcast) row block; pallas_call requires operands
+    to agree, so replicated operands are pcast to the union."""
+    vmas = [getattr(jax.typeof(a), "vma", frozenset()) for a in arrays]
+    target = frozenset().union(*vmas)
+    if not target:
+        return arrays
+    out = []
+    for a, v in zip(arrays, vmas):
+        missing = tuple(sorted(target - v))
+        out.append(jax.lax.pcast(a, missing, to="varying") if missing else a)
+    return tuple(out)
 BK = 256
 BL = 256
 # the quaternion-emitting kernel carries ~3x more live planes (key-matrix
@@ -197,6 +214,7 @@ def _pairwise_rmsd_pallas_padded(
     a_planes, b_planes, ga, gb, wsum, interpret: bool
 ):
     """a_planes/b_planes: f32[3, K, N]; ga: f32[1, K]; gb: f32[1, L]."""
+    a_planes, b_planes, ga, gb, wsum = _unify_vma(a_planes, b_planes, ga, gb, wsum)
     _, k, n = a_planes.shape
     l = b_planes.shape[1]
     grid = (k // BK, l // BL)
@@ -207,6 +225,7 @@ def _pairwise_rmsd_pallas_padded(
     def b_spec(_):
         return pl.BlockSpec((BL, n), lambda i, j: (j, 0))
 
+    vma = getattr(jax.typeof(ga), "vma", frozenset())
     return pl.pallas_call(
         _kernel,
         grid=grid,
@@ -218,7 +237,7 @@ def _pairwise_rmsd_pallas_padded(
             pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((BK, BL), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((k, l), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k, l), jnp.float32, vma=vma),
         interpret=interpret,
     )(
         a_planes[0], a_planes[1], a_planes[2],
@@ -230,11 +249,18 @@ def _pairwise_rmsd_pallas_padded(
 @partial(jax.jit, static_argnames=("interpret",))
 def _pairwise_rmsd_quat_pallas_padded(a_planes, b_planes, ga, gb, wsum, thr, interpret: bool):
     """Like _pairwise_rmsd_pallas_padded but emits (rmsd, qw, qx, qy, qz)."""
+    a_planes, b_planes, ga, gb, wsum, thr = _unify_vma(
+        a_planes, b_planes, ga, gb, wsum, thr
+    )
     _, k, n = a_planes.shape
     l = b_planes.shape[1]
     grid = (k // BKQ, l // BLQ)
 
     out_tile = pl.BlockSpec((BKQ, BLQ), lambda i, j: (i, j))
+    # under shard_map with vma checking, outputs must declare how they vary
+    # across mesh axes; inherit the input's vma (empty outside shard_map)
+    vma = getattr(jax.typeof(ga), "vma", frozenset())
+    out_struct = jax.ShapeDtypeStruct((k, l), jnp.float32, vma=vma)
     return pl.pallas_call(
         _kernel_quat,
         grid=grid,
@@ -251,7 +277,7 @@ def _pairwise_rmsd_quat_pallas_padded(a_planes, b_planes, ga, gb, wsum, thr, int
             pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
         ],
         out_specs=[out_tile] * 5,
-        out_shape=[jax.ShapeDtypeStruct((k, l), jnp.float32)] * 5,
+        out_shape=[out_struct] * 5,
         interpret=interpret,
     )(
         a_planes[0], a_planes[1], a_planes[2],

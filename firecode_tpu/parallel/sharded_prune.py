@@ -115,7 +115,7 @@ def _sharded_greedy_kernel(feats: dict, valid, sim_fn, block: int, shard: int):
 
 @partial(
     jax.jit,
-    static_argnames=("kind", "block", "has_energies", "use_maxdev", "mesh"),
+    static_argnames=("kind", "block", "has_energies", "use_maxdev", "mesh", "use_pallas"),
 )
 def _sharded_prune_jit(
     feats: dict,
@@ -130,15 +130,18 @@ def _sharded_prune_jit(
     has_energies: bool,
     use_maxdev: bool,
     mesh: Mesh,
+    use_pallas: bool = False,
 ):
     n_dev = mesh.devices.size
     bp = _shard_pad(int(feats[next(iter(feats))].shape[0]), block, n_dev)
     shard = bp // n_dev
 
     if kind == "rmsd":
-        sim_fn = _make_rmsd_sim(thr, max_dE, use_maxdev, wsum)
+        sim_fn = _make_rmsd_sim(thr, max_dE, use_maxdev, wsum, use_pallas=use_pallas)
     elif kind == "rot_corr":
-        sim_fn = _make_rmsd_rot_corr_sim(thr, max_dE, use_maxdev, wsum, perms)
+        sim_fn = _make_rmsd_rot_corr_sim(
+            thr, max_dE, use_maxdev, wsum, perms, use_pallas=use_pallas
+        )
     elif kind == "moi":
         sim_fn = _make_moi_sim(thr, max_dE)
     elif kind == "tfd":
@@ -168,6 +171,8 @@ def _sharded_prune_jit(
 
 def _run_sharded(feats, b, e, thr, max_dE, kind, block, mesh, *,
                  wsum=None, perms=None, use_maxdev=False) -> np.ndarray:
+    from firecode_tpu.prune.cascade import pallas_default
+
     mesh = mesh or ensemble_mesh()
     dtype = feats[next(iter(feats))].dtype
     has_energies = e is not None
@@ -175,6 +180,14 @@ def _run_sharded(feats, b, e, thr, max_dE, kind, block, mesh, *,
         raise ValueError(
             f"energies length {np.shape(e)[0]} does not match ensemble size {b}"
         )
+    # NOTE: the fused Pallas tiles are plumbed through (use_pallas static
+    # arg + vma unification in ops/pallas_qcp.py) but stay OFF under
+    # shard_map for now: pallas_call under vma-checked shard_map still
+    # rejects mixed replicated/varying operands inside its own block
+    # machinery (dynamic_slice vma mismatch) on this JAX version. The
+    # single-chip cascade — the benchmarked config — runs full Pallas.
+    del pallas_default
+    use_pallas = False
     keep = _sharded_prune_jit(
         feats,
         jnp.asarray(e if has_energies else np.zeros(b), dtype),
@@ -190,6 +203,7 @@ def _run_sharded(feats, b, e, thr, max_dE, kind, block, mesh, *,
         has_energies,
         use_maxdev,
         mesh,
+        use_pallas,
     )
     return np.asarray(keep)[:b]
 
