@@ -192,23 +192,28 @@ class Ensemble:
             energies = self.energies if energies is not None else None
 
             if rmsd_rot_corr:
-                if len(self.coords) <= 1e3:
-                    n0 = len(self.coords)
-                    mask = prune_by_rmsd_rot_corr(
-                        self.coords,
-                        self.atomnos,
-                        rmsd_thr=rmsd_thr,
-                        energies=energies,
-                        max_dE=max_dE,
+                # the reference skips rot-corr above 1e3 structures
+                # (firecode/ensemble.py:247-270); the tiled kernel scales,
+                # so the ceiling is deleted (LET-style note at large sizes)
+                if verbose and len(self.coords) > 1e3:
+                    self.log(
+                        f"Symmetry-corrected RMSD pruning at {len(self.coords)} "
+                        "structures (reference CPU ceiling of 1e3 does not apply)"
                     )
-                    self.apply_mask(("coords", "energies"), mask)
-                    if verbose and len(self.coords) < n0:
-                        self.log(
-                            f"Discarded {n0 - len(self.coords)} candidates for "
-                            f"symmetry-corrected RMSD similarity ({len(self.coords)} left)"
-                        )
-                elif verbose:
-                    self.log("Skipped rotationally-corrected RMSD pruning (>1k structures)")
+                n0 = len(self.coords)
+                mask = prune_by_rmsd_rot_corr(
+                    self.coords,
+                    self.atomnos,
+                    rmsd_thr=rmsd_thr,
+                    energies=energies,
+                    max_dE=max_dE,
+                )
+                self.apply_mask(("coords", "energies"), mask)
+                if verbose and len(self.coords) < n0:
+                    self.log(
+                        f"Discarded {n0 - len(self.coords)} candidates for "
+                        f"symmetry-corrected RMSD similarity ({len(self.coords)} left)"
+                    )
 
         if verbose and len(self.coords) == before:
             self.log("All structures passed the similarity check.")
