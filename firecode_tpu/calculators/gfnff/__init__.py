@@ -15,7 +15,11 @@ from __future__ import annotations
 import numpy as np
 
 from firecode_tpu.calculators.base import Calculator
-from firecode_tpu.calculators.gfnff.energy import gfnff_charges, gfnff_energy
+from firecode_tpu.calculators.gfnff.energy import (
+    gfnff_charges,
+    gfnff_energy,
+    gfnff_energy_terms,
+)
 from firecode_tpu.calculators.gfnff.params import GlobalParams, load_fitted
 from firecode_tpu.calculators.gfnff.topology import (
     GFNFFTopology,
@@ -29,6 +33,7 @@ __all__ = [
     "build_gfnff_topology",
     "gfnff_charges",
     "gfnff_energy",
+    "gfnff_energy_terms",
     "load_fitted",
 ]
 

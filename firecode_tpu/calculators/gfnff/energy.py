@@ -110,14 +110,17 @@ def bond_params(top, p):
     return r0, d, a
 
 
-def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
-    """Total GFN-FF energy of one structure [N, 3] (kcal/mol).
-
-    p: dict of global scalars (params.GlobalParams.asdict()); may be traced
-    (the fit differentiates the energy with respect to it).
-    """
+def gfnff_energy_terms(coords: jnp.ndarray, top, p: dict) -> dict:
+    """Per-term breakdown of the GFN-FF energy (kcal/mol); pure,
+    autodiff-safe — the diagnostic surface mirroring
+    reactive_ff.reactive_energy_terms."""
     dt = coords.dtype
-    e = jnp.asarray(0.0, dtype=dt)
+    zero = jnp.asarray(0.0, dtype=dt)
+    terms = {
+        k: zero for k in
+        ("bond", "angle", "torsion", "oop", "rep", "disp", "es", "hb", "xb")
+    }
+    e = zero
 
     def dist(idx_a, idx_b):
         d = coords[idx_a] - coords[idx_b]
@@ -133,7 +136,7 @@ def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
     if top.bonds.shape[0]:
         r = dist(top.bonds[:, 0], top.bonds[:, 1])
         x = jnp.exp(-bond_a * (r - bond_r0))
-        e = e + jnp.sum(bond_d * (x * x - 2.0 * x))
+        terms["bond"] = jnp.sum(bond_d * (x * x - 2.0 * x))
 
     # ---- angles ----
     if top.angles.shape[0]:
@@ -151,7 +154,7 @@ def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
         k = jnp.where(top.angle_lin > 0.5, p["ka_lin"], p["ka_s"]) * top.angle_f
         bent = (cosb - top.angle_cos0) ** 2
         lin = 1.0 + cosb
-        e = e + jnp.sum(k * damp * jnp.where(top.angle_lin > 0.5, lin, bent))
+        terms["angle"] = jnp.sum(k * damp * jnp.where(top.angle_lin > 0.5, lin, bent))
 
     # ---- torsions ----
     if top.torsions.shape[0]:
@@ -173,7 +176,7 @@ def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
         # sp3 (n=3): 1 + cos(3 phi) -> staggered minima at 60/180/300;
         # pi   (n=2): 1 - cos(2 phi) -> planar minima at 0/180
         sign = jnp.where(top.tors_n > 2.5, 1.0, -1.0)
-        e = e + jnp.sum(k * tdamp * (1.0 + sign * jnp.cos(top.tors_n * phi)))
+        terms["torsion"] = jnp.sum(k * tdamp * (1.0 + sign * jnp.cos(top.tors_n * phi)))
 
     # ---- out-of-plane ----
     if top.oop.shape[0]:
@@ -184,7 +187,7 @@ def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
         nrm = jnp.cross(p2 - p1, p3 - p1)
         nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
         h = jnp.sum((c - p1) * nrm, axis=-1)
-        e = e + jnp.sum(p["koop"] * h * h)
+        terms["oop"] = jnp.sum(p["koop"] * h * h)
 
     # ---- pairwise: repulsion + dispersion ----
     diff = coords[:, None, :] - coords[None, :, :]
@@ -209,7 +212,8 @@ def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
     edisp = -top.mask_nb * top.c6 * (
         p["s6"] / (r6 + r0_6) + p["s8"] * disp_r0**2 / (r6 * r2m + r0_8)
     )
-    e = e + 0.5 * jnp.sum(erep + edisp)
+    terms["rep"] = 0.5 * jnp.sum(erep)
+    terms["disp"] = 0.5 * jnp.sum(edisp)
 
     # ---- EEQ electrostatics ----
     e_es, _q = eeq_energy_and_charges(
@@ -217,7 +221,7 @@ def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
         top.chi.astype(dt), top.eta.astype(dt), top.eeq_alpha.astype(dt),
         top.cnf.astype(dt), top.rcov.astype(dt), top.charge,
     )
-    e = e + p["es_scale"] * e_es
+    terms["es"] = p["es_scale"] * e_es
 
     # ---- hydrogen bonds ----
     if top.hb.shape[0]:
@@ -231,7 +235,7 @@ def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
         cos_dha = jnp.sum(vhd * vha, axis=-1) / (rhd * rha)
         f_ang = ((1.0 - cos_dha) * 0.5) ** 4  # 1 at linear D-H...A, 0 at 0 deg
         f_dist = jnp.exp(-p["khb_w"] * (rha - p["r0_hb"]) ** 2)
-        e = e - jnp.sum(p["khb"] * top.hb_f * f_ang * f_dist)
+        terms["hb"] = -jnp.sum(p["khb"] * top.hb_f * f_ang * f_dist)
 
     # ---- halogen bonds ----
     if top.xb.shape[0]:
@@ -245,9 +249,20 @@ def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
         cos_cxa = jnp.sum(vxc * vxa, axis=-1) / (rxc * rxa)
         fx_ang = ((1.0 - cos_cxa) * 0.5) ** 4  # sigma-hole directionality
         fx_dist = jnp.exp(-p["khb_w"] * (rxa - p["r0_xb"]) ** 2)
-        e = e - jnp.sum(p["kxb"] * top.xb_f * fx_ang * fx_dist)
+        terms["xb"] = -jnp.sum(p["kxb"] * top.xb_f * fx_ang * fx_dist)
 
-    return e
+    del e
+    return terms
+
+
+def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
+    """Total GFN-FF energy of one structure [N, 3] (kcal/mol).
+
+    p: dict of global scalars (params.GlobalParams.asdict()); may be traced
+    (the fit differentiates the energy with respect to it).
+    """
+    terms = gfnff_energy_terms(coords, top, p)
+    return sum(terms.values())
 
 
 def _dihedral_rad(coords: jnp.ndarray, quads: jnp.ndarray) -> jnp.ndarray:

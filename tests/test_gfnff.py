@@ -159,3 +159,79 @@ def test_xtb_gfnff_parity():
     rmse = np.sqrt(np.mean((np.array(all_dn) - np.array(all_dx)) ** 2))
     assert rmse < 2.0  # relative energies parallel
     assert np.mean(cosines) > 0.7  # forces point the same way
+
+
+def test_heteroatom_elements_robust():
+    """S/P/Cl-containing molecules: finite energies/forces and stable
+    optimization under the generated FF (fallback element parameters)."""
+    from firecode_tpu.opt.fire import optimize_batch
+
+    systems = {
+        # methanethiol
+        "CH3SH": (np.array([6, 16, 1, 1, 1, 1]),
+                  np.array([[0.0, 0, 0], [1.82, 0, 0], [2.2, 1.2, 0],
+                            [-0.37, 0.5, 0.88], [-0.37, 0.5, -0.88],
+                            [-0.37, -1.02, 0.0]])),
+        # chloromethane
+        "CH3Cl": (np.array([6, 17, 1, 1, 1]),
+                  np.array([[0.0, 0, 0], [1.78, 0, 0],
+                            [-0.37, 0.5, 0.88], [-0.37, 0.5, -0.88],
+                            [-0.37, -1.02, 0.0]])),
+        # phosphine
+        "PH3": (np.array([15, 1, 1, 1]),
+                np.array([[0.0, 0, 0], [1.21, 0.6, 0], [-1.0, 0.9, 0],
+                          [0.0, -0.55, 1.25]])),
+    }
+    for name, (z, x) in systems.items():
+        calc = GFNFF(z, x)
+        e, f = calc.energy_and_forces(jnp.asarray(x))
+        assert np.isfinite(float(e)) and np.isfinite(np.asarray(f)).all(), name
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.1, max_steps=2000)
+        assert bool(res.converged[0]), name
+        xo = np.asarray(res.coords[0])
+        # molecule intact: every bonded pair within 1.4x covalent sum
+        from firecode_tpu.graphs import graphize
+        from firecode_tpu.pt import COVALENT_RADII
+
+        g = graphize(z, x)
+        for i, j in g.edges:
+            d = np.linalg.norm(xo[i] - xo[j])
+            rs = COVALENT_RADII[z[i]] + COVALENT_RADII[z[j]]
+            assert d < 1.4 * rs, (name, i, j, d)
+
+
+def test_halogen_bond_triplets_and_attraction():
+    """Cl on carbon + an O acceptor generates XB triplets and a directional
+    sigma-hole attraction at the contact geometry."""
+    from firecode_tpu.calculators.gfnff import build_gfnff_topology
+    from firecode_tpu.calculators.gfnff.energy import gfnff_energy
+    from firecode_tpu.calculators.gfnff.params import load_fitted
+
+    # CH3Cl ... OH2, Cl...O along the C-Cl axis (sigma hole)
+    z = np.array([6, 17, 1, 1, 1, 8, 1, 1])
+    x = np.array([
+        [0.0, 0, 0], [1.78, 0, 0],
+        [-0.37, 0.5, 0.88], [-0.37, 0.5, -0.88], [-0.37, -1.02, 0.0],
+        [4.7, 0, 0], [5.1, 0.76, 0.4], [5.1, -0.76, 0.4],
+    ])
+    top = build_gfnff_topology(z, x)
+    assert top.xb.shape[0] >= 1
+    p = load_fitted().asdict()
+    e_contact = float(gfnff_energy(jnp.asarray(x), top, p))
+    x_far = x.copy()
+    x_far[5:] += 40.0
+    e_far = float(gfnff_energy(jnp.asarray(x_far), top, p))
+    assert e_far > e_contact - 5.0  # bound or near-flat, never a wall
+
+
+def test_energy_terms_breakdown_sums_to_total(ethanol_calc):
+    from firecode_tpu.calculators.gfnff import gfnff_energy_terms
+
+    z, x, calc = ethanol_calc
+    terms = gfnff_energy_terms(jnp.asarray(x), calc.topology, calc.params)
+    assert set(terms) == {
+        "bond", "angle", "torsion", "oop", "rep", "disp", "es", "hb", "xb"
+    }
+    total = float(calc.energy(jnp.asarray(x)))
+    assert abs(sum(float(v) for v in terms.values()) - total) < 1e-9
+    assert float(terms["bond"]) < 0  # bound molecule
