@@ -95,12 +95,21 @@ def build_ff_topology(
     graph=None,
     charge: int = 0,
     electrostatics: bool = True,
+    r0_mode: str = "measured",
 ) -> FFTopology:
     """Perceive bonded topology from one conformer and build device tables.
 
     Pass `graph` to use a precomputed bond graph (e.g. the disjoint union of
     per-molecule graphs in a multi-molecular embed, so inter-fragment contacts
     stay nonbonded).
+
+    r0_mode: "measured" (default) reads equilibrium bond lengths off the
+    input conformer (clamped to +-15% of the covalent radii sum) — fast and
+    robust for good inputs, but a distorted input bakes its distortion into
+    r0 for the whole run. "model" derives r0 from the GFN-FF bond-length
+    model instead (fitted per-element radii, EN shortening, geometric pi
+    bond order), making LiteFF independent of input quality (VERDICT r2
+    weak item 7).
     """
     atomnos = np.asarray(atomnos)
     coords = np.asarray(coords, dtype=np.float64)
@@ -114,14 +123,17 @@ def build_ff_topology(
             graph.add_edge(int(a), int(b))
 
     bonds = sorted(tuple(sorted(e)) for e in graph.edges)
-    # equilibrium lengths from the perceived input geometry (robust across
-    # bond orders: a covalent-radii sum would stretch C=C/C=O by ~0.2 A),
-    # sanity-clamped to +-15% of the radii sum
-    bond_r0 = []
-    for i, j in bonds:
-        measured = float(np.linalg.norm(coords[i] - coords[j]))
-        ref = float(COVALENT_RADII[atomnos[i]] + COVALENT_RADII[atomnos[j]])
-        bond_r0.append(min(max(measured, 0.85 * ref), 1.15 * ref))
+    if r0_mode == "model":
+        bond_r0 = _model_bond_r0(atomnos, coords, graph, bonds)
+    else:
+        # equilibrium lengths from the perceived input geometry (robust
+        # across bond orders: a covalent-radii sum would stretch C=C/C=O by
+        # ~0.2 A), sanity-clamped to +-15% of the radii sum
+        bond_r0 = []
+        for i, j in bonds:
+            measured = float(np.linalg.norm(coords[i] - coords[j]))
+            ref = float(COVALENT_RADII[atomnos[i]] + COVALENT_RADII[atomnos[j]])
+            bond_r0.append(min(max(measured, 0.85 * ref), 1.15 * ref))
 
     angles, angle_cos0 = [], []
     for c in graph.nodes:
@@ -209,6 +221,25 @@ def build_ff_topology(
         lj_d=arr(lj_d),
         charges=arr(charges),
     )
+
+
+def _model_bond_r0(atomnos, coords, graph, bonds) -> list[float]:
+    """Input-geometry-independent r0 from the GFN-FF bond-length model."""
+    from firecode_tpu.calculators.gfnff.params import EN_PAULING, load_fitted
+    from firecode_tpu.calculators.gfnff.topology import (
+        _hybridization,
+        _pi_bond_order,
+    )
+
+    p = load_fitted()
+    hyb = _hybridization(graph, atomnos, coords)
+    out = []
+    for i, j in bonds:
+        rs = float(p.bond_radii[atomnos[i]] + p.bond_radii[atomnos[j]])
+        den = abs(float(EN_PAULING[atomnos[i]] - EN_PAULING[atomnos[j]]))
+        bo = _pi_bond_order(i, j, atomnos, coords, hyb)
+        out.append((rs - p.ken * den**1.5) * (1.0 - p.kr_pi * bo))
+    return out
 
 
 def nx_all_pairs_shortest_path_length(graph, cutoff):
@@ -463,10 +494,11 @@ class LiteFF(Calculator):
         graph=None,
         charge: int = 0,
         electrostatics: bool = True,
+        r0_mode: str = "measured",
     ):
         self.topology = build_ff_topology(
             atomnos, coords, extra_bonds, graph=graph, charge=charge,
-            electrostatics=electrostatics,
+            electrostatics=electrostatics, r0_mode=r0_mode,
         )
         top = self.topology
         super().__init__(lambda c: ff_energy(c, top), name="liteff")

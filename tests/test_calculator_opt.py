@@ -196,3 +196,29 @@ def test_composed_calculator_cache_keys_on_content(rng):
     c3 = Constraints().add_distance(1, 2, 1.7)
     optimize_batch(calc, ens, constraints=c3, max_steps=10)
     assert len(_COMPOSED) == 2
+
+
+def test_liteff_model_r0_mode_ignores_input_distortion():
+    """r0_mode='model' (GFN-FF bond-length model) removes LiteFF's input-
+    geometry dependence (VERDICT r2 weak item 7): a 10%-stretched input
+    still relaxes to the true bond length, where the default measured mode
+    bakes the distortion into r0."""
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.forcefield import LiteFF
+    from firecode_tpu.calculators.gfnff import fixtures as fx
+    from firecode_tpu.opt.fire import optimize_batch
+
+    z, x = fx.ethane()
+    x_bad = np.asarray(x) * 1.10
+    res_meas = optimize_batch(
+        LiteFF(z, x_bad), jnp.asarray(x_bad)[None], fmax=0.05, max_steps=2000
+    )
+    res_model = optimize_batch(
+        LiteFF(z, x_bad, r0_mode="model"), jnp.asarray(x_bad)[None],
+        fmax=0.05, max_steps=2000,
+    )
+    cc_meas = float(np.linalg.norm(res_meas.coords[0][0] - res_meas.coords[0][1]))
+    cc_model = float(np.linalg.norm(res_model.coords[0][0] - res_model.coords[0][1]))
+    assert cc_meas > 1.62  # measured mode keeps the distortion
+    assert abs(cc_model - 1.536) < 0.05  # model mode recovers the truth
