@@ -78,14 +78,47 @@ def operate(filename: str, operator: str, embedder) -> str | None:
             f"Operator '{op_name}' not recognized. "
             f"Known: {sorted(set(table) | set(_CUSTOM_OPERATORS))}"
         )
+    # parenthesized key=value arguments are routed to operators that declare
+    # a matching parameter, e.g. "mtd_native(walkers=16,steps=5000)>";
+    # bare/positional tokens are ignored for reference-input compatibility
+    kw = {}
+    if "(" in operator:
+        import inspect
+
+        params = inspect.signature(func).parameters
+        inner = operator.split("(", 1)[1].rstrip(")").strip()
+        for tok in filter(None, (t.strip() for t in inner.split(","))):
+            if "=" not in tok:
+                continue
+            k, v = (s.strip() for s in tok.split("=", 1))
+            k = k.lower()
+            if k in params:
+                kw[k] = _coerce(v)
+            else:
+                embedder.log(
+                    f"--> NOTE: {op_name}> ignoring unknown argument '{k}'"
+                )
     t0 = time.perf_counter()
     embedder.log(f"--> Running {op_name}> operator on {filename}")
-    out = func(filename, embedder)
+    out = func(filename, embedder, **kw)
     embedder.log(
         f"--> {op_name}> operator on {filename} completed "
         f"({time.perf_counter() - t0:.1f} s)\n"
     )
     return out
+
+
+def _coerce(v: str):
+    """Operator-argument literal: int, float, bool, or bare string."""
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
 
 
 def _mol_for(filename: str, embedder):
@@ -176,7 +209,16 @@ def csearch_hb_operator(filename: str, embedder) -> str:
     return csearch_operator(filename, embedder, keep_hb=True)
 
 
-def mtd_native_operator(filename: str, embedder) -> str:
+def mtd_native_operator(
+    filename: str,
+    embedder,
+    walkers: int = 8,
+    steps: int = 3000,
+    dep_every: int = 150,
+    k_push: float = 3.0,
+    alpha: float = 0.6,
+    temperature: float = 500.0,
+) -> str:
     """Native batched RMSD metadynamics conformer search (mtd_native>).
 
     The reference outsources metadynamics to the CREST binary
@@ -193,9 +235,11 @@ def mtd_native_operator(filename: str, embedder) -> str:
     embedder.log(f"--> mtd_native> batched metadynamics on {filename}")
     pool = run_mtd(
         calc, mol.atomnos, mol.coords[0],
-        n_walkers=8, n_steps=3000, dep_every=150,
+        n_walkers=int(walkers), n_steps=int(steps), dep_every=int(dep_every),
+        k_push=float(k_push), alpha=float(alpha),
+        temperature=float(temperature),
     )
-    embedder.log(f"    {len(pool)} biased snapshots from 8 walkers")
+    embedder.log(f"    {len(pool)} biased snapshots from {int(walkers)} walkers")
 
     constrained = _internal_constraints_for(filename, embedder)
     cons = _constraints_object(mol, constrained, embedder)

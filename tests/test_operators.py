@@ -245,3 +245,15 @@ def test_mtd_native_operator_run(rundir):
 
     ens = Ensemble.from_xyz(str(out))
     assert len(ens.coords) >= 2  # found more than the input basin
+
+
+@pytest.mark.operator
+def test_mtd_native_operator_args(rundir):
+    """Parenthesized key=value operator arguments reach the operator."""
+    atomnos, coords = build_alkane(4)
+    run_input(
+        rundir,
+        "NOOPT CALC=GFNFF\nmtd_native(walkers=2,steps=600,dep_every=100)> but.xyz\n",
+        {"but.xyz": (atomnos, coords[None])},
+    )
+    assert (rundir / "but_mtd.xyz").exists()
