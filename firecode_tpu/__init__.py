@@ -34,6 +34,18 @@ def __getattr__(name):
         import firecode_tpu.calculators as calculators
 
         return getattr(calculators, name)
+    if name == "GFNFF":
+        from firecode_tpu.calculators.gfnff import GFNFF
+
+        return GFNFF
+    if name == "StackedLiteFF":
+        from firecode_tpu.calculators.forcefield import StackedLiteFF
+
+        return StackedLiteFF
+    if name == "run_mtd":
+        from firecode_tpu.md.metadynamics import run_mtd
+
+        return run_mtd
     if name == "Embedder":
         from firecode_tpu.driver import Embedder
 
@@ -56,6 +68,9 @@ __all__ = [
     "optimize_batch",
     "LiteFF",
     "ReactiveFF",
+    "GFNFF",
+    "StackedLiteFF",
+    "run_mtd",
     "Embedder",
     "Hypermolecule",
     "__version__",
