@@ -297,7 +297,10 @@ def ff_energy(coords: jnp.ndarray, top: FFTopology) -> jnp.ndarray:
     diff = coords[:, None, :] - coords[None, :, :]
     r2 = jnp.sum(diff * diff, axis=-1)
     active = top.nb_scale > 0
-    r2_safe = jnp.where(active, r2, 1.0) + 1e-12
+    # floor at (0.2 A)^2: below that the wall is already vertical, and an
+    # unfloored r^-12 OVERFLOWS f32 on clashed structures (atoms nearly
+    # coincident -> inf energy -> NaN forces poison the whole FIRE lane)
+    r2_safe = jnp.maximum(jnp.where(active, r2, 1.0), 0.04)
     x2 = top.lj_x * top.lj_x
     s6 = (x2 / r2_safe) ** 3
     e_pair = top.lj_d * (s6 * s6 - 2.0 * s6) * top.nb_scale
@@ -346,7 +349,10 @@ def ff_energy_pbc(coords: jnp.ndarray, top: FFTopology, box) -> jnp.ndarray:
     diff = diff - box * jnp.round(diff / box)  # minimum image
     r2 = jnp.sum(diff * diff, axis=-1)
     active = top.nb_scale > 0
-    r2_safe = jnp.where(active, r2, 1.0) + 1e-12
+    # floor at (0.2 A)^2: below that the wall is already vertical, and an
+    # unfloored r^-12 OVERFLOWS f32 on clashed structures (atoms nearly
+    # coincident -> inf energy -> NaN forces poison the whole FIRE lane)
+    r2_safe = jnp.maximum(jnp.where(active, r2, 1.0), 0.04)
     x2 = top.lj_x * top.lj_x
     s6 = (x2 / r2_safe) ** 3
     e_pair = top.lj_d * (s6 * s6 - 2.0 * s6) * top.nb_scale

@@ -60,6 +60,11 @@ def _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge):
     n = coords.shape[0]
     diff = coords[:, None, :] - coords[None, :, :]
     r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    # floor pair distances at 0.3 A inside the charge kernel: two (nearly)
+    # coincident atoms otherwise make identical KKT rows and the f32 LU on
+    # TPU returns NaN charges, poisoning the lane. No fixture geometry has
+    # contacts anywhere near 0.3 A, so chemistry is untouched.
+    r = jnp.maximum(r, 0.3)
     gamma = jnp.sqrt(alpha[:, None] ** 2 + alpha[None, :] ** 2)
     j_off = COULOMB * jax.scipy.special.erf(r / gamma) / r
     diag = eta * EV_TO_KCAL + COULOMB * jnp.sqrt(2.0 / jnp.pi) / alpha
