@@ -240,7 +240,10 @@ def gfnff_energy_terms(coords: jnp.ndarray, top, p: dict) -> dict:
         cos_dha = jnp.sum(vhd * vha, axis=-1) / (rhd * rha)
         f_ang = ((1.0 - cos_dha) * 0.5) ** 4  # 1 at linear D-H...A, 0 at 0 deg
         f_dist = jnp.exp(-p["khb_w"] * (rha - p["r0_hb"]) ** 2)
-        terms["hb"] = -jnp.sum(p["khb"] * top.hb_f * f_ang * f_dist)
+        # resonance-assisted boost on sp2-O acceptors (carbonyl/carboxyl):
+        # plain element factors underbind acid dimers by ~6 kcal/mol
+        strength = top.hb_f * (1.0 + (p["khb_sp2"] - 1.0) * top.hb_sp2)
+        terms["hb"] = -jnp.sum(p["khb"] * strength * f_ang * f_dist)
 
     # ---- halogen bonds ----
     if top.xb.shape[0]:

@@ -43,7 +43,7 @@ from firecode_tpu.calculators.gfnff.params import GlobalParams
 # the same reason.
 FIT_KEYS = (
     "ken", "kr_pi", "kt_sp3", "kt_pi", "kt_conj", "krep", "krep_13",
-    "krep_hb", "s8", "a1", "a2", "khb",
+    "krep_hb", "s8", "a1", "a2", "khb", "khb_sp2",
 )
 _REG = 0.05  # pull toward the defaults (log space)
 # krep is pinned HARD: the torsion constants (kt_sp3 free) absorb whatever

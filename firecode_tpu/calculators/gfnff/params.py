@@ -225,6 +225,8 @@ class GlobalParams:
     es_scale: float = 1.0
     # hydrogen bond correction (on top of EEQ+disp)
     khb: float = 2.8  # kcal/mol base strength
+    khb_sp2: float = 2.0  # resonance-assisted boost on sp2-O acceptors
+    #   (anchored on the formic-acid cyclic dimer De 18.6, CCSD(T)/CBS)
     khb_w: float = 1.4  # Gaussian width (A^-2) around r0_hb
     r0_hb: float = 1.90  # H...A target distance (A)
     # halogen bond correction

@@ -98,6 +98,9 @@ class GFNFFTopology(NamedTuple):
     # HB / XB triplets
     hb: jnp.ndarray  # i32[H, 3] donor, H, acceptor
     hb_f: jnp.ndarray  # f[H] element/charge strength factor
+    hb_sp2: jnp.ndarray  # f[H] 1.0 for sp2-O acceptors (khb_sp2 boost:
+    #   resonance-assisted carbonyl/carboxyl HBs bind far harder than
+    #   their element factor alone — acid dimers, amide bridges)
     xb: jnp.ndarray  # i32[X, 3] C, X, acceptor
     xb_f: jnp.ndarray  # f[X]
     q_topo: jnp.ndarray  # f[N] setup-geometry EEQ charges (diagnostic/HB)
@@ -306,7 +309,7 @@ def build_gfnff_topology(
     )
 
     # ---------------- HB / XB triplets ----------------
-    hb, hb_f = [], []
+    hb, hb_f, hb_sp2 = [], [], []
     bonded = {tuple(sorted(e)) for e in graph.edges}
     for d in range(n):
         if int(atomnos[d]) not in _HB_DONOR_Z:
@@ -323,10 +326,13 @@ def build_gfnff_topology(
                     * _HB_ACC_F[int(atomnos[a])]
                     * (1.0 + float(np.clip(-q_topo[a], 0.0, 1.0)))
                 )
-                if int(atomnos[a]) == 8 and hyb[a] == SP2:
-                    f *= 1.35  # carbonyl acceptors bind harder (acid dimers)
                 hb.append((d, h, a))
                 hb_f.append(f)
+                # resonance-assisted acceptors (carbonyl/carboxyl O) get the
+                # fittable khb_sp2 boost at energy time, not a baked factor
+                hb_sp2.append(
+                    1.0 if int(atomnos[a]) == 8 and hyb[a] == SP2 else 0.0
+                )
 
     xb, xb_f = [], []
     for x in range(n):
@@ -398,6 +404,7 @@ def build_gfnff_topology(
         disp_mask=arr(disp_mask),
         hb=jnp.asarray(pad_idx(hb, 3)),
         hb_f=arr(hb_f),
+        hb_sp2=arr(hb_sp2),
         xb=jnp.asarray(pad_idx(xb, 3)),
         xb_f=arr(xb_f),
         q_topo=arr(q_topo),
