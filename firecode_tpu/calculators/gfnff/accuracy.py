@@ -105,6 +105,11 @@ def compute_report() -> dict:
     rec("ammonia_nh", np.linalg.norm(xa[1] - xa[0]))
     xd = relax(fx.water_dimer())
     rec("water_dimer_oo", np.linalg.norm(xd[3] - xd[0]))
+    from firecode_tpu.ops.algebra import dihedral
+
+    xb2 = relax(fx.biphenyl(44.0))
+    phi = float(dihedral(jnp.asarray(xb2)[np.array([2, 0, 11, 13])][None])[0])
+    rec("biphenyl_twist", min(abs(phi), 180.0 - abs(phi)))
 
     # ---- hydration free energies (GB+SASA, committed anchored fit) ----
     from firecode_tpu.calculators.fit_solvation import (

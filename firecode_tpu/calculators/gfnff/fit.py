@@ -86,6 +86,7 @@ def _build_cases():
     add("water_dimer", fx.water_dimer())
     add("formic_acid", fx.formic_acid())
     add("formic_dimer", fx.formic_acid_dimer())
+    add("biphenyl", fx.biphenyl(44.0))
 
     def scan(base, quad, mask_idx, angles, n_atoms):
         mask = np.zeros(n_atoms, bool)
@@ -107,6 +108,15 @@ def _build_cases():
     cases["butane"]["scan"] = scan(
         xb, [0, 1, 2, 3], moving, [0.0, 60.0, 120.0, 180.0], 14
     )
+    # biphenyl inter-ring twist ladder: the generator reproduces the same
+    # atom order at any twist, so the 44-degree topology serves all frames.
+    # Anchors the conjugation/sterics/dispersion balance no small-molecule
+    # fixture constrains: near-planar minima mean bonded-range dispersion
+    # (BJ radius too small) or kt_conj is overpowering the ortho-H wall.
+    cases["biphenyl"]["scan"] = jnp.asarray(
+        np.stack([fx.biphenyl(t)[1] for t in (0.0, 44.0, 90.0)])
+    )
+
     # separated dimers (same topology -> size-consistent De)
     for name, first in (("methane_dimer", 5), ("water_dimer", 3), ("formic_dimer", 5)):
         xs = np.asarray(cases[name]["x"]).copy()
@@ -191,6 +201,11 @@ def _loss_fn(cases):
         total = total + ((eb[2] - eb[0] - 0.9) / 0.8) ** 2  # gauche (rigid ~ +0.15)
         total = total + ((eb[1] - eb[0] - 3.6) / 0.8) ** 2  # anti->gauche TS
         total = total + ((eb[3] - eb[0] - 6.0) / 1.5) ** 2  # syn (rigid upper)
+        # biphenyl twist profile: twisted (44) minimum with ~2 kcal/mol
+        # rigid walls both ways (exp planar barrier 2.0, perp 2.2)
+        ebi = scan_e("biphenyl")
+        total = total + ((ebi[0] - ebi[1] - 2.0) / 0.7) ** 2
+        total = total + ((ebi[2] - ebi[1] - 2.2) / 0.7) ** 2
         # dimer De
         for name, de, tol in (
             ("methane_dimer", 0.53, 0.15),

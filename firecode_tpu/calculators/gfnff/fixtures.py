@@ -306,4 +306,8 @@ TARGETS: dict[str, tuple[float, float]] = {
     "methanol_co": (1.427, 0.05),
     "ammonia_nh": (1.012, 0.03),
     "water_dimer_oo": (2.91, 0.25),
+    # biphenyl equilibrium inter-ring twist (gas-phase ED: 44.4 deg) — the
+    # conjugation / ortho-H-sterics / dispersion balance; a near-planar or
+    # near-perpendicular minimum means one term has swamped the others
+    "biphenyl_twist": (44.0, 22.0),
 }
