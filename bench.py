@@ -98,8 +98,10 @@ def run_cascade(
 
     t0 = time.perf_counter()
     # the cheap MOI similarity favours LARGER blocks than the RMSD stages
-    # (fewer triangular-loop iterations at 1e6): swept 512 -> 6.1 s vs
-    # 1024 -> 3.8 s for the 1M MOI stage
+    # (fewer triangular-loop iterations at 1e6): swept 512/1024/2048/4096 ->
+    # 6.1/3.0/4.1/5.7 s for the 1M MOI stage (bigger blocks lose to the
+    # sequential in-block resolve); the log-space ratio kernel then cut
+    # 1024 to ~2.0 s
     keep = prune_by_moi(coords, atomnos, block=max(block, 1024))
     coords = jnp.take(coords, jnp.asarray(np.where(keep)[0]), axis=0)
     coords.block_until_ready()

@@ -291,8 +291,10 @@ def prune_by_moi_sharded(
         return np.ones(b, dtype=bool)
     masses = jnp.asarray(MASSES[np.asarray(atomnos)], dtype=coords.dtype)
     moments = inertia_moments(coords, masses)
+    # log-moment feature for the symmetric ratio similarity (cascade._make_moi_sim)
     return _run_sharded(
-        {"m": moments}, b, energies, rel_tol, max_dE, "moi", block, mesh
+        {"lm": jnp.log(jnp.maximum(moments, 1e-30))},
+        b, energies, rel_tol, max_dE, "moi", block, mesh
     )
 
 

@@ -129,11 +129,13 @@ def np_prune_by_moi(
     moments = np.stack([np_inertia_moments(c, atomnos) for c in coords])
     gate = _energy_gate(energies, max_dE)
 
+    log_m = np.log(np.maximum(moments, 1e-30))
+
     def similar(i: int, j: int) -> bool:
         if not gate(i, j):
             return False
-        mi, mj = moments[i], moments[j]
-        return bool(np.all(np.abs(mi - mj) < rel_tol * np.maximum(np.abs(mi), 1e-12)))
+        # symmetric log-space ratio test (mirrors cascade._make_moi_sim)
+        return bool(np.max(np.abs(log_m[i] - log_m[j])) < -np.log1p(-rel_tol))
 
     return np_greedy_keep(similar, len(coords))
 
