@@ -202,25 +202,30 @@ def bench_gfnff_opt() -> None:
     batch = int(os.environ.get("FIRECODE_BENCH_CONFS", "1024"))
     n_steps = 200
     atomnos, coords = build_alkane(16)  # 50 atoms
-    calc = GFNFF(atomnos, coords)
     rng = np.random.default_rng(0)
     ens = (coords[None] + 0.05 * rng.normal(size=(batch, *coords.shape))).astype(
         np.float32
     )
 
-    def run(x):
-        # fixed step budget (fmax 0 never converges a lane early), so the
-        # measurement is exactly batch * n_steps force evaluations
-        res = optimize_batch(
-            calc, jnp.asarray(x), fmax=0.0, max_steps=n_steps, restarts=1
-        )
-        res.coords.block_until_ready()
+    def rate_for(eeq: str) -> tuple[float, float]:
+        calc = GFNFF(atomnos, coords, eeq=eeq)
 
-    run(ens)  # compile
-    t0 = time.perf_counter()
-    run(ens + 0.001)
-    elapsed = time.perf_counter() - t0
-    rate = batch * n_steps / elapsed
+        def run(x):
+            # fixed step budget (fmax 0 never converges a lane early), so
+            # the measurement is exactly batch * n_steps force evaluations
+            res = optimize_batch(
+                calc, jnp.asarray(x), fmax=0.0, max_steps=n_steps, restarts=1
+            )
+            res.coords.block_until_ready()
+
+        run(ens)  # compile
+        t0 = time.perf_counter()
+        run(ens + 0.001)
+        elapsed = time.perf_counter() - t0
+        return batch * n_steps / elapsed, elapsed
+
+    rate, elapsed = rate_for("variational")
+    rate_topo, _ = rate_for("topo")
     print(
         json.dumps(
             {
@@ -231,6 +236,7 @@ def bench_gfnff_opt() -> None:
                 "batch": batch,
                 "n_steps": n_steps,
                 "elapsed_s": round(elapsed, 3),
+                "topo_charges_value": round(rate_topo, 0),
             }
         )
     )

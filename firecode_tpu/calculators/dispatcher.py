@@ -19,8 +19,8 @@ from firecode_tpu.calculators.forcefield import LiteFF
 from firecode_tpu.errors import MissingExternalError
 
 KNOWN_CALCULATORS = (
-    "GFNFF", "LITEFF", "LITEFF-R", "MLIP", "XTB", "TBLITE", "ORCA",
-    "AIMNET2", "UMA",
+    "GFNFF", "GFNFF-TOPO", "LITEFF", "LITEFF-R", "MLIP", "XTB", "TBLITE",
+    "ORCA", "AIMNET2", "UMA",
 )
 
 
@@ -44,10 +44,15 @@ class Dispatcher:
         solvent: str | None = None,
     ) -> Calculator:
         """Build a batched calculator for the given system."""
-        if self.calculator == "GFNFF":
+        if self.calculator in ("GFNFF", "GFNFF-TOPO"):
             from firecode_tpu.calculators.gfnff import GFNFF
 
-            calc = GFNFF(atomnos, coords, graph=graph, charge=charge)
+            # GFNFF-TOPO: published-convention fixed setup charges — no
+            # O(N^3) EEQ solve under the optimization step loop
+            calc = GFNFF(
+                atomnos, coords, graph=graph, charge=charge,
+                eeq="topo" if self.calculator == "GFNFF-TOPO" else "variational",
+            )
             if solvent is not None:
                 from firecode_tpu.calculators.solvation import solvate
 

@@ -48,13 +48,24 @@ class GFNFF(Calculator):
         graph=None,
         charge: int = 0,
         params: GlobalParams | None = None,
+        eeq: str = "variational",
     ):
+        """eeq: "variational" (default) re-solves EEQ charges at every
+        geometry (exact charge-flow forces); "topo" freezes the
+        setup-geometry charges — the published GFN-FF convention and the
+        fast path for large-N optimization (no O(N^3) solve per step)."""
+        if eeq not in ("variational", "topo"):
+            raise ValueError(f"eeq must be 'variational' or 'topo', got {eeq!r}")
         self.topology = build_gfnff_topology(
             atomnos, coords, graph=graph, charge=charge
         )
         self.params = (params or load_fitted()).asdict()
+        self.eeq = eeq
         top, p = self.topology, self.params
-        super().__init__(lambda c: gfnff_energy(c, top, p), name="gfnff")
+        super().__init__(
+            lambda c: gfnff_energy(c, top, p, eeq=eeq),
+            name="gfnff" if eeq == "variational" else "gfnff-topo",
+        )
 
     def charges(self, coords) -> np.ndarray:
         """Runtime EEQ charges for one structure [N, 3]."""

@@ -115,10 +115,19 @@ def bond_params(top, p):
     return r0, d, a
 
 
-def gfnff_energy_terms(coords: jnp.ndarray, top, p: dict) -> dict:
+def gfnff_energy_terms(
+    coords: jnp.ndarray, top, p: dict, eeq: str = "variational"
+) -> dict:
     """Per-term breakdown of the GFN-FF energy (kcal/mol); pure,
     autodiff-safe — the diagnostic surface mirroring
-    reactive_ff.reactive_energy_terms."""
+    reactive_ff.reactive_energy_terms.
+
+    eeq: "variational" re-equilibrates charges at every geometry through
+    the KKT solve (exact charge-flow forces, O(N^3) per evaluation);
+    "topo" freezes the setup-geometry EEQ charges and evaluates the same
+    erf-damped Coulomb pairwise — the published GFN-FF's behaviour
+    (charges from topology, not geometry) and the fast path for large-N
+    batched optimization (no linear solve under the step loop)."""
     dt = coords.dtype
     zero = jnp.asarray(0.0, dtype=dt)
     terms = {
@@ -221,11 +230,22 @@ def gfnff_energy_terms(coords: jnp.ndarray, top, p: dict) -> dict:
     terms["disp"] = 0.5 * jnp.sum(edisp)
 
     # ---- EEQ electrostatics ----
-    e_es, _q = eeq_energy_and_charges(
-        coords,
-        top.chi.astype(dt), top.eta.astype(dt), top.eeq_alpha.astype(dt),
-        top.cnf.astype(dt), top.rcov.astype(dt), top.charge,
-    )
+    if eeq == "topo":
+        # fixed setup charges: damped pairwise Coulomb only (the chi/eta
+        # self-energy is geometry-independent at fixed q -> constant, dropped)
+        q = top.q_topo.astype(dt)
+        alpha = top.eeq_alpha.astype(dt)
+        gamma = jnp.sqrt(alpha[:, None] ** 2 + alpha[None, :] ** 2)
+        rm_es = jnp.maximum(rm, 0.3)  # same degeneracy floor as _eeq_system
+        j_off = COULOMB * jax.scipy.special.erf(rm_es / gamma) / rm_es
+        off = jnp.where(jnp.eye(coords.shape[0], dtype=bool), 0.0, j_off)
+        e_es = 0.5 * q @ (off @ q)
+    else:
+        e_es, _q = eeq_energy_and_charges(
+            coords,
+            top.chi.astype(dt), top.eta.astype(dt), top.eeq_alpha.astype(dt),
+            top.cnf.astype(dt), top.rcov.astype(dt), top.charge,
+        )
     terms["es"] = p["es_scale"] * e_es
 
     # ---- hydrogen bonds ----
@@ -263,13 +283,15 @@ def gfnff_energy_terms(coords: jnp.ndarray, top, p: dict) -> dict:
     return terms
 
 
-def gfnff_energy(coords: jnp.ndarray, top, p: dict) -> jnp.ndarray:
+def gfnff_energy(
+    coords: jnp.ndarray, top, p: dict, eeq: str = "variational"
+) -> jnp.ndarray:
     """Total GFN-FF energy of one structure [N, 3] (kcal/mol).
 
     p: dict of global scalars (params.GlobalParams.asdict()); may be traced
-    (the fit differentiates the energy with respect to it).
-    """
-    terms = gfnff_energy_terms(coords, top, p)
+    (the fit differentiates the energy with respect to it). See
+    gfnff_energy_terms for the eeq modes."""
+    terms = gfnff_energy_terms(coords, top, p, eeq=eeq)
     return sum(terms.values())
 
 

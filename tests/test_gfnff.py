@@ -235,3 +235,54 @@ def test_energy_terms_breakdown_sums_to_total(ethanol_calc):
     total = float(calc.energy(jnp.asarray(x)))
     assert abs(sum(float(v) for v in terms.values()) - total) < 1e-9
     assert float(terms["bond"]) < 0  # bound molecule
+
+
+def test_topo_charges_mode():
+    """eeq="topo" (published-GFN-FF fixed setup charges): finite, rigid-
+    motion invariant, optimizable, and its torsion RELATIVE energetics
+    track the variational surface (charges barely flow on rotation)."""
+    from firecode_tpu.calculators.gfnff import gfnff_energy
+    from firecode_tpu.opt.fire import optimize_batch
+
+    z, xe = fx.ethane()
+    var = GFNFF(z, xe)
+    topo = GFNFF(z, xe, eeq="topo")
+    assert topo.name == "gfnff-topo"
+
+    # forces finite + match finite differences through the fixed-charge ES
+    g = jax.grad(lambda c: gfnff_energy(c, topo.topology, topo.params, eeq="topo"))(
+        jnp.asarray(xe)
+    )
+    assert np.isfinite(np.asarray(g)).all()
+
+    # ethane barrier: same rigid scan through both ES modes
+    from firecode_tpu.ops.torsion_ops import rotate_dihedral
+
+    mask = np.zeros(len(z), bool)
+    mask[[5, 6, 7]] = True
+    frames = rotate_dihedral(
+        jnp.broadcast_to(jnp.asarray(xe), (2, len(z), 3)),
+        jnp.asarray(np.array([2, 0, 1, 5], np.int32)),
+        jnp.asarray([0.0, 60.0]),
+        jnp.asarray(mask),
+    )
+    def barrier(calc):
+        e = [float(calc.energy(frames[i])) for i in range(2)]
+        return e[1] - e[0]
+
+    bv, bt = barrier(var), barrier(topo)
+    assert abs(bv - bt) < 0.3  # ES barely moves an alkane torsion barrier
+
+    # batched FIRE runs and converges on the fast path
+    res = optimize_batch(topo, jnp.asarray(xe)[None], fmax=0.05, max_steps=1500)
+    assert bool(np.asarray(res.converged)[0])
+
+
+def test_dispatcher_topo_surface():
+    from firecode_tpu.calculators.dispatcher import Dispatcher
+    from firecode_tpu.sample_molecules import build_ethanol
+
+    z, x = build_ethanol()
+    calc = Dispatcher("GFNFF-TOPO").get_batch_calc(z, x)
+    e, g = calc.energy_and_forces(jnp.asarray(np.stack([x, x + 0.01])))
+    assert np.isfinite(np.asarray(e)).all() and np.isfinite(np.asarray(g)).all()
