@@ -71,19 +71,27 @@ def _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge):
     a = jnp.where(jnp.eye(n, dtype=bool), 0.0, j_off) + jnp.diag(diag)
     cn = coordination_numbers(coords, rcov)
     chi_eff = (chi + cnf * jnp.sqrt(cn + 1e-12)) * EV_TO_KCAL
-    ones = jnp.ones((n, 1), dtype=coords.dtype)
-    kkt = jnp.block([[a, ones], [ones.T, jnp.zeros((1, 1), coords.dtype)]])
-    rhs = jnp.concatenate(
-        [-chi_eff, jnp.asarray([charge], dtype=coords.dtype)]
-    )
-    return kkt, rhs, a, chi_eff
+    return a, chi_eff
 
 
 def eeq_energy_and_charges(coords, chi, eta, alpha, cnf, rcov, charge):
-    """Variational EEQ electrostatic energy (kcal/mol) + charges [N]."""
-    n = coords.shape[0]
-    kkt, rhs, a, chi_eff = _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge)
-    q = jnp.linalg.solve(kkt, rhs)[:n]
+    """Variational EEQ electrostatic energy (kcal/mol) + charges [N].
+
+    The total-charge constraint is eliminated by the Schur complement
+    instead of solving the bordered (N+1) KKT system: A is SPD (erf-damped
+    Coulomb kernel + positive hardness diagonal), so one Cholesky
+    factorization and two triangular solves give
+        q = A^-1(-chi) + lam A^-1 1,   lam = (Q + 1^T A^-1 chi)/(1^T A^-1 1)
+    — ~2x cheaper than LU on the bordered (and indefinite) matrix, and
+    exactly the same minimizer."""
+    a, chi_eff = _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge)
+    cho = jax.scipy.linalg.cho_factor(a)
+    s = jax.scipy.linalg.cho_solve(
+        cho, jnp.stack([-chi_eff, jnp.ones_like(chi_eff)], axis=-1)
+    )
+    s1, s2 = s[:, 0], s[:, 1]
+    lam = (charge - jnp.sum(s1)) / jnp.sum(s2)
+    q = s1 + lam * s2
     e = jnp.sum(chi_eff * q) + 0.5 * q @ (a @ q)
     return e, q
 
