@@ -486,17 +486,26 @@ def prune_by_rmsd_rot_corr(
 # --------------------------------------------------------------------------
 
 
-def _make_moi_sim(rel_tol, max_dE) -> SimFn:
+def _make_moi_sim(rel_tol, max_dE, compare: str = "all") -> SimFn:
     """Symmetric log-space MOI similarity: max_axis |log mi - log mj| <
     -log(1 - rel_tol), i.e. the per-axis moment RATIO lies within rel_tol.
     Equivalent (in exact arithmetic, up to the O(tol^2) band asymmetry) to
-    |mi - mj| < rel_tol * max(mi, mj), but 1.5x faster at the 1M scale:
-    the pair kernel is 3 subs + |.| + a max-reduce + one compare on the
-    precomputed `lm` feature, instead of per-axis mul/max/compare chains."""
+    |mi - mj| < rel_tol * max(mi, mj), but ~1.5x faster at the 1M scale:
+    the pair kernel works on the precomputed `lm` feature instead of
+    per-axis mul/max/compare chains.
+
+    The two `compare` spellings produce the SAME booleans; XLA fuses them
+    differently per engine path (measured on v5e at block 1024: "all" wins
+    full-column at 100k, 0.119 vs 0.147 s; "max" wins the triangular loop
+    at 1M, 1.99 vs 2.49 s)."""
 
     def sim_fn(row: dict, col: dict) -> jnp.ndarray:
         d = jnp.abs(row["lm"][:, None, :] - col["lm"][None, :, :])
-        sim = jnp.max(d, axis=-1) < -jnp.log1p(-rel_tol)
+        c = -jnp.log1p(-rel_tol)
+        if compare == "all":
+            sim = jnp.all(d < c, axis=-1)
+        else:
+            sim = jnp.max(d, axis=-1) < c
         return _energy_sim(row, col, sim, max_dE)
 
     return sim_fn
@@ -516,7 +525,9 @@ def _prune_moi_device(
         feats["energies"] = energies
     feats, valid, _ = _pad_block(feats, b, block)
     return _blockwise_greedy(
-        feats, valid, _make_moi_sim(rel_tol, max_dE), block,
+        feats, valid,
+        _make_moi_sim(rel_tol, max_dE, compare="all" if full_column else "max"),
+        block,
         full_column=full_column,
     )[:b]
 
