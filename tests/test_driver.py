@@ -159,3 +159,19 @@ def test_loadbar_and_eta(capsys):
     assert "50.0%" in out and "100.0%" in out
     line = eta_report(25, 100, elapsed_s=50.0)
     assert "25/100" in line and "2.000 s/structure" in line and "ETA 150 s" in line
+
+
+@pytest.mark.embed
+def test_refine_run_gfnff_topo(rundir, rng):
+    """CALC=GFNFF-TOPO (fixed setup charges) drives the full refine
+    pipeline end-to-end through the input language."""
+    atomnos, coords = build_alkane(4)
+    confs = np.stack(
+        [coords + rng.normal(scale=0.05, size=coords.shape) for _ in range(4)]
+    )
+    run_input(
+        rundir,
+        "REFINE KCAL=20 CALC=GFNFF-TOPO\nbutane.xyz\n",
+        {"butane.xyz": (atomnos, confs)},
+    )
+    assert (rundir / "firecode_final_ensemble_test.xyz").exists()
