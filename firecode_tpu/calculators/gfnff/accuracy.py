@@ -63,6 +63,8 @@ def compute_report() -> dict:
 
     ee = scan_e("ethane")
     rec("ethane_barrier", ee[1] - ee[0])
+    ef = scan_e("formamide")
+    rec("formamide_rotation", ef[1] - ef[0])
     ev = scan_e("ethylene")
     rec("ethylene_twist", ev[1] - ev[0])
     eb = scan_e("butane")
@@ -110,6 +112,37 @@ def compute_report() -> dict:
     xb2 = relax(fx.biphenyl(44.0))
     phi = float(dihedral(jnp.asarray(xb2)[np.array([2, 0, 11, 13])][None])[0])
     rec("biphenyl_twist", min(abs(phi), 180.0 - abs(phi)))
+    xbz = relax(fx.benzene())
+    rec("benzene_cc", np.linalg.norm(xbz[0] - xbz[2]))
+
+    # methanol hydroxyl rotor: rigid 60-degree rotation from the staggered
+    # reference (the substitution-scaled sp3 barrier — 3 quads vs ethane's 9)
+    from firecode_tpu.ops.torsion_ops import rotate_dihedral
+
+    zm, xm0 = fx.methanol()
+    mcalc = GFNFF(zm, xm0)
+    mmask = np.zeros(len(zm), bool)
+    mmask[2] = True  # the O-H hydrogen
+    mframes = rotate_dihedral(
+        jnp.broadcast_to(jnp.asarray(xm0), (2, len(zm), 3)),
+        jnp.asarray(np.array([3, 0, 1, 2], np.int32)),
+        jnp.asarray([0.0, 60.0]),
+        jnp.asarray(mmask),
+    )
+    em = [float(mcalc.energy(mframes[i])) for i in range(2)]
+    rec("methanol_oh_torsion", em[1] - em[0])
+
+    # NH3 inversion: relaxed pyramidal minimum vs rigid planarized geometry
+    # at the same N-H length
+    za, _ = fx.ammonia()
+    acalc = GFNFF(*fx.ammonia())
+    xa_min = relax(fx.ammonia())
+    e_min = float(acalc.energy(jnp.asarray(xa_min)))
+    rnh = float(np.mean([np.linalg.norm(xa_min[i] - xa_min[0]) for i in (1, 2, 3)]))
+    xa_flat = np.zeros_like(xa_min)
+    for i, ang in zip((1, 2, 3), (0.0, 2 * np.pi / 3, 4 * np.pi / 3)):
+        xa_flat[i] = [rnh * np.cos(ang), rnh * np.sin(ang), 0.0]
+    rec("nh3_inversion", float(acalc.energy(jnp.asarray(xa_flat))) - e_min)
 
     # ---- hydration free energies (GB+SASA, committed anchored fit) ----
     from firecode_tpu.calculators.fit_solvation import (

@@ -189,10 +189,15 @@ def gfnff_energy_terms(
             * bond_damp(rjk, bond_r0[top.tors_bond[:, 1]])
             * bond_damp(rkl, bond_r0[top.tors_bond[:, 2]])
         )
+        # BO->stiffness exponent is fitted (kt_bo_exp): bo^2 left amides
+        # (bo ~0.57) 1.8x too stiff once ethylene (bo=1) was anchored.
+        # Clamp bo away from 0 so the exponent's ln-gradient cannot NaN
+        # through the unselected branch of the where.
+        bo_safe = jnp.maximum(top.tors_bo, 1e-6)
         k_total = jnp.where(
             top.tors_n > 2.5,
             p["kt_sp3"],
-            p["kt_conj"] + p["kt_pi"] * top.tors_bo * top.tors_bo,
+            p["kt_conj"] + p["kt_pi"] * bo_safe ** p["kt_bo_exp"],
         )
         k = k_total * top.tors_paths
         # sp3 (n=3): 1 + cos(3 phi) -> staggered minima at 60/180/300;

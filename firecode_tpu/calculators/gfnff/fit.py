@@ -43,7 +43,7 @@ from firecode_tpu.calculators.gfnff.params import GlobalParams
 # the same reason.
 FIT_KEYS = (
     "ken", "kr_pi", "kt_sp3", "kt_pi", "kt_conj", "krep", "krep_13",
-    "krep_hb", "s8", "a1", "a2", "khb", "khb_sp2",
+    "krep_hb", "s8", "a1", "a2", "khb", "khb_sp2", "kt_bo_exp",
 )
 _REG = 0.05  # pull toward the defaults (log space)
 # krep is pinned HARD: the torsion constants (kt_sp3 free) absorb whatever
@@ -87,6 +87,7 @@ def _build_cases():
     add("formic_acid", fx.formic_acid())
     add("formic_dimer", fx.formic_acid_dimer())
     add("biphenyl", fx.biphenyl(44.0))
+    add("formamide", fx.formamide())
 
     def scan(base, quad, mask_idx, angles, n_atoms):
         mask = np.zeros(n_atoms, bool)
@@ -116,6 +117,10 @@ def _build_cases():
     cases["biphenyl"]["scan"] = jnp.asarray(
         np.stack([fx.biphenyl(t)[1] for t in (0.0, 44.0, 90.0)])
     )
+
+    # amide C-N rotation: rigid 90-degree twist of the NH2 hydrogens
+    _, xf = fx.formamide()
+    cases["formamide"]["scan"] = scan(xf, [1, 0, 2, 4], [4, 5], [0.0, 90.0], 6)
 
     # separated dimers (same topology -> size-consistent De)
     for name, first in (("methane_dimer", 5), ("water_dimer", 3), ("formic_dimer", 5)):
@@ -201,6 +206,9 @@ def _loss_fn(cases):
         total = total + ((eb[2] - eb[0] - 0.9) / 0.8) ** 2  # gauche (rigid ~ +0.15)
         total = total + ((eb[1] - eb[0] - 3.6) / 0.8) ** 2  # anti->gauche TS
         total = total + ((eb[3] - eb[0] - 6.0) / 1.5) ** 2  # syn (rigid upper)
+        # amide rotation: rigid proxy a few kcal over the relaxed exp 16-18
+        ef = scan_e("formamide")
+        total = total + ((ef[1] - ef[0] - 20.0) / 2.5) ** 2
         # biphenyl twist profile: twisted (44) minimum with ~2 kcal/mol
         # rigid walls both ways (exp planar barrier 2.0, perp 2.2)
         ebi = scan_e("biphenyl")

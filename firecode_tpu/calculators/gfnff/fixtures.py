@@ -201,6 +201,35 @@ def formic_acid_dimer() -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate([z1, z1]), np.vstack([x1, x2])
 
 
+def formamide() -> tuple[np.ndarray, np.ndarray]:
+    """Planar formamide (microwave geometry, approx): the amide-bond
+    fixture. C-N 1.352 carries ~0.5-0.6 pi bond order; rotation barrier
+    (exp, relaxed) 16-18 kcal/mol."""
+    rco, rcn, rch, rnh = 1.219, 1.352, 1.098, 1.002
+    x = np.array([
+        [0.0, 0.0, 0.0],
+        [rco * np.cos(np.radians(125)), rco * np.sin(np.radians(125)), 0.0],
+        [rcn, 0.0, 0.0],
+        [rch * np.cos(np.radians(-115)), rch * np.sin(np.radians(-115)), 0.0],
+        [rcn + rnh * np.cos(np.radians(60)), rnh * np.sin(np.radians(60)), 0.0],
+        [rcn + rnh * np.cos(np.radians(-60)), rnh * np.sin(np.radians(-60)), 0.0],
+    ])
+    return np.array([6, 8, 7, 1, 1, 1]), x
+
+
+def benzene() -> tuple[np.ndarray, np.ndarray]:
+    """D6h benzene: r(CC) 1.391, r(CH) 1.084 (gas-phase ED/microwave)."""
+    rcc, rch = 1.391, 1.084
+    z, x = [], []
+    for k in range(6):
+        ang = k * np.pi / 3
+        z.append(6)
+        x.append([rcc * np.cos(ang), rcc * np.sin(ang), 0.0])
+        z.append(1)
+        x.append([(rcc + rch) * np.cos(ang), (rcc + rch) * np.sin(ang), 0.0])
+    return np.array(z), np.array(x)
+
+
 def biphenyl(twist_deg: float = 44.0) -> tuple[np.ndarray, np.ndarray]:
     """Biphenyl with the experimental ~44 deg inter-ring twist (gas phase).
 
@@ -310,4 +339,14 @@ TARGETS: dict[str, tuple[float, float]] = {
     # conjugation / ortho-H-sterics / dispersion balance; a near-planar or
     # near-perpendicular minimum means one term has swamped the others
     "biphenyl_twist": (44.0, 22.0),
+    # aromatic ring geometry (benzene ED/microwave)
+    "benzene_cc": (1.391, 0.03),
+    # substitution-dependent rotor barriers: methanol's 3 eclipsing pairs
+    # vs ethane's 9 (per-quad torsion weighting; microwave barrier 1.07)
+    "methanol_oh_torsion": (1.07, 0.5),
+    # NH3 inversion (planar - pyramidal, rigid planarized proxy; exp 5.8)
+    "nh3_inversion": (5.8, 3.0),
+    # amide C-N rotation, rigid 90-degree proxy (exp relaxed 16-18; the
+    # rigid path keeps N planar so the proxy sits a few kcal above)
+    "formamide_rotation": (20.0, 8.0),
 }

@@ -207,6 +207,7 @@ class GlobalParams:
     # torsions (per rotable bond, split over paths)
     kt_sp3: float = 1.45  # 3-fold barrier ~ 2.9 kcal/mol (ethane)
     kt_pi: float = 32.0  # 2-fold pi barrier ~ 65 (ethylene)
+    kt_bo_exp: float = 2.0  # BO->stiffness exponent (amides anchor it ~3)
     kt_conj: float = 3.0  # conjugated single bonds (biaryl / diene)
     kt_damp: float = 4.0  # bond-stretch damping steepness
     # out-of-plane (sp2 planarity): E = koop * h^2

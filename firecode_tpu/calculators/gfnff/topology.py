@@ -80,7 +80,8 @@ class GFNFFTopology(NamedTuple):
     torsions: jnp.ndarray  # i32[T, 4]
     tors_n: jnp.ndarray  # f[T] periodicity (3 sp3-like / 2 pi-like)
     tors_bo: jnp.ndarray  # f[T] central-bond pi order
-    tors_paths: jnp.ndarray  # f[T] 1 / n_paths
+    tors_paths: jnp.ndarray  # f[T] per-quad weight vs the fully-substituted
+    #   reference rotor (1/9 sp3, 1/4 pi) — barriers grow with substitution
     tors_bond: jnp.ndarray  # i32[T, 3] bond indices (ij, jk, kl) for damping
     # out-of-plane (sp2 planarity)
     oop: jnp.ndarray  # i32[O, 4] center + 3 neighbors
@@ -253,14 +254,21 @@ def build_gfnff_topology(
             # pi / conjugated 2-fold: full pi bonds are rigid (ethylene
             # ~65 kcal/mol), partial pi (amide, biaryl) scales as BO^2
             n_per, bo_eff = 2.0, bo
-        npaths = len(j_nb) * len(k_nb)
+        # per-quad weight against the FULLY-SUBSTITUTED reference (9 quads
+        # for an sp3-sp3 bond, 4 for sp2-sp2) rather than 1/n_paths: the
+        # n-fold cosine is invariant to the +-120/-+180 phase offsets
+        # between quads, so every quad adds IN PHASE and barriers must grow
+        # with the eclipsing-pair count. 1/n_paths gave every sp3 rotor the
+        # ethane barrier; per-quad weighting predicts methanol at 3/9 and
+        # methylamine at 6/9 of ethane (0.97/1.93 vs exp 1.07/1.98).
+        quad_w = 1.0 / 9.0 if n_per == 3.0 else 0.25
         b_jk = bond_index[tuple(sorted((j, k)))]
         for i in j_nb:
             for l in k_nb:
                 torsions.append((i, j, k, l))
                 t_n.append(n_per)
                 t_bo.append(bo_eff)
-                t_paths.append(1.0 / npaths)
+                t_paths.append(quad_w)
                 t_bond.append(
                     (
                         bond_index[tuple(sorted((i, j)))],
