@@ -532,6 +532,118 @@ def _prune_moi_device(
     )[:b]
 
 
+# --------------------------------------------------------------------------
+# grid-bucketed MOI engine (exact, for very large ensembles)
+# --------------------------------------------------------------------------
+
+_GRID_OFFSETS = [
+    (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+]
+
+
+def _moi_log_cells(coords, masses, rel_tol):
+    """Log-moments, cell coordinates, and packed int32 cell ids.
+
+    Cell edge = the similarity radius c, so ANY similar pair (max-axis
+    |d log m| < c) lands in the same or an adjacent cell: the 27-cell
+    neighborhood is a complete candidate superset, and every candidate is
+    re-verified with the exact test — the engine is exact, the grid only
+    bounds where similar pairs can live."""
+    m = inertia_moments(coords, masses)
+    lm = jnp.log(jnp.maximum(m, 1e-30))
+    c = -jnp.log1p(-rel_tol)
+    cell = jnp.floor(lm / c).astype(jnp.int32)
+    cell = cell - jnp.min(cell, axis=0)
+    n1 = jnp.max(cell[:, 1]) + 1
+    n2 = jnp.max(cell[:, 2]) + 1
+    cid = (cell[:, 0] * n1 + cell[:, 1]) * n2 + cell[:, 2]
+    # packed range (f32: only a fallback guard against int32 overflow)
+    prod = (
+        (jnp.max(cell[:, 0]).astype(jnp.float32) + 1.0)
+        * (n1.astype(jnp.float32))
+        * (n2.astype(jnp.float32))
+    )
+    return lm, c, cid, n1, n2, prod
+
+
+@jax.jit
+def _moi_grid_stats(coords, masses, rel_tol):
+    """(max same-cell-id run length, packed-id range) — sizes the grid
+    kernel's static slot count and guards the int32 packing."""
+    b = coords.shape[0]
+    _, _, cid, _, _, prod = _moi_log_cells(coords, masses, rel_tol)
+    cid_s = jnp.sort(cid)
+    new_run = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), cid_s[1:] != cid_s[:-1]]
+    )
+    run_id = jnp.cumsum(new_run) - 1
+    lengths = jnp.zeros(b, dtype=jnp.int32).at[run_id].add(1)
+    return jnp.max(lengths), prod
+
+
+@partial(jax.jit, static_argnames=("m_slots", "has_energies"))
+def _prune_moi_grid_device(
+    coords, masses, energies, rel_tol, max_dE, m_slots: int, has_energies: bool
+) -> jnp.ndarray:
+    """Exact greedy keep-first MOI prune via spatial hashing of the
+    log-moment space: candidates come from the 27-cell neighborhood
+    (O(B * occupancy) pair tests instead of O(B^2)), the greedy fixpoint
+    runs Jacobi sweeps over the candidate graph. Keep lists are identical
+    to the dense engines and the numpy oracle — same similarity predicate,
+    same earlier-index-wins order, unique fixpoint (the dependency graph
+    is acyclic in the original index)."""
+    b = coords.shape[0]
+    lm, c, cid, n1, n2, _ = _moi_log_cells(coords, masses, rel_tol)
+    order = jnp.argsort(cid)  # stable: ties resolve by original index
+    cid_s = cid[order]
+    lm_s = lm[order]
+    e_s = energies[order]
+    orig_s = order.astype(jnp.int32)
+
+    deltas = jnp.stack(
+        [(dx * n1 + dy) * n2 + dz for dx, dy, dz in _GRID_OFFSETS]
+    )  # [27] traced (n1/n2 are data-dependent)
+    starts = jax.vmap(
+        lambda d: jnp.searchsorted(cid_s, cid_s + d, side="left")
+    )(deltas)  # [27, B]
+    slots = jnp.arange(m_slots)
+
+    def dead_from(keep_s):
+        dead = jnp.zeros(b, dtype=bool)
+        for k in range(27):  # static unroll; buffers reuse across offsets
+            pos = starts[k][:, None] + slots[None, :]
+            posc = jnp.minimum(pos, b - 1)
+            ok = (pos < b) & (cid_s[posc] == (cid_s + deltas[k])[:, None])
+            dlm = jnp.max(jnp.abs(lm_s[posc] - lm_s[:, None, :]), axis=-1) < c
+            sim = ok & dlm
+            if has_energies:
+                sim = sim & (jnp.abs(e_s[posc] - e_s[:, None]) < max_dE)
+            sim = sim & (orig_s[posc] < orig_s[:, None])
+            dead = dead | jnp.any(sim & keep_s[posc], axis=1)
+        return dead
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < b)
+
+    def body(state):
+        keep_s, _, it = state
+        new = ~dead_from(keep_s)
+        return new, jnp.any(new != keep_s), it + 1
+
+    keep_s, _, _ = lax.while_loop(
+        cond, body, (jnp.ones(b, dtype=bool), True, jnp.int32(0))
+    )
+    return jnp.zeros(b, dtype=bool).at[order].set(keep_s)
+
+
+# grid engine limits: fall back to the dense engines when a single cell
+# holds this many structures (degenerate near-identical ensembles) or the
+# packed cell-id range would overflow int32
+_GRID_MAX_SLOTS = 4096
+_GRID_MIN_B = 32768
+
+
 def prune_by_moi(
     coords,
     atomnos,
@@ -570,12 +682,28 @@ def prune_by_moi(
             f"energies length {np.shape(energies)[0]} does not match ensemble size {b}"
         )
     e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
+    rel = jnp.asarray(rel_tol, coords.dtype)
+    mde = jnp.asarray(max_dE, coords.dtype)
+
+    if b >= _GRID_MIN_B:
+        # grid engine: O(B * cell-occupancy) candidate tests instead of
+        # O(B^2); exact (same keep lists). Sized by the measured max
+        # same-cell run; degenerate ensembles fall back to the dense path.
+        max_run, prod = _moi_grid_stats(coords, masses, rel)
+        max_run = int(max_run)
+        if max_run <= _GRID_MAX_SLOTS and float(prod) < 2**30:
+            m_slots = max(8, 1 << (max_run - 1).bit_length())
+            keep = _prune_moi_grid_device(
+                coords, masses, e, rel, mde, m_slots, has_energies
+            )
+            return np.asarray(keep)
+
     keep = _prune_moi_device(
         coords,
         masses,
         e,
-        jnp.asarray(rel_tol, coords.dtype),
-        jnp.asarray(max_dE, coords.dtype),
+        rel,
+        mde,
         block,
         has_energies,
         # the full-column engine recomputes every row block's similarity

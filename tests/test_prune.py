@@ -142,3 +142,81 @@ def test_prune_by_rmsd_with_atom_mask(rng):
     # without the mask the garbage atoms dominate and change the result
     unmasked = prune_by_rmsd(padded, block=8)
     assert unmasked.sum() != want.sum() or not np.array_equal(unmasked, want)
+
+
+def _grid_keep(ens, atomnos, energies=None, max_dE=1.0, rel_tol=0.01):
+    """Drive the grid MOI engine directly (the wrapper gates it on size)."""
+    from firecode_tpu.prune.cascade import (
+        _moi_grid_stats,
+        _prune_moi_grid_device,
+    )
+    from firecode_tpu.pt import MASSES
+
+    coords = jnp.asarray(ens)
+    masses = jnp.asarray(MASSES[np.asarray(atomnos)], coords.dtype)
+    has_e = energies is not None
+    e = jnp.asarray(
+        energies if has_e else np.zeros(len(ens)), dtype=coords.dtype
+    )
+    rel = jnp.asarray(rel_tol, coords.dtype)
+    max_run, prod = _moi_grid_stats(coords, masses, rel)
+    m_slots = max(8, 1 << (int(max_run) - 1).bit_length())
+    return np.asarray(
+        _prune_moi_grid_device(
+            coords, masses, e, rel, jnp.asarray(max_dE, coords.dtype),
+            m_slots, has_e,
+        )
+    )
+
+
+def test_moi_grid_engine_matches_oracle(rng):
+    ens = _ensemble_with_duplicates(rng, n_groups=6, group_size=5, scale=0.01)
+    atomnos = rng.integers(1, 18, size=ens.shape[1])
+    got = _grid_keep(ens, atomnos)
+    want = np_prune_by_moi(ens, atomnos)
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() < len(ens)
+
+
+def test_moi_grid_engine_energy_gated(rng):
+    ens = _ensemble_with_duplicates(rng, n_groups=4, group_size=6, scale=0.01)
+    atomnos = rng.integers(1, 18, size=ens.shape[1])
+    energies = rng.normal(size=len(ens)) * 3.0
+    got = _grid_keep(ens, atomnos, energies=energies, max_dE=1.0)
+    want = np_prune_by_moi(ens, atomnos, energies=energies, max_dE=1.0)
+    np.testing.assert_array_equal(got, want)
+    # gating keeps at least as many as ungated
+    assert got.sum() >= _grid_keep(ens, atomnos).sum()
+
+
+def test_moi_grid_engine_matches_dense_device(rng):
+    ens = _ensemble_with_duplicates(rng, n_groups=8, group_size=4, scale=0.02)
+    atomnos = rng.integers(1, 18, size=ens.shape[1])
+    got = _grid_keep(ens, atomnos)
+    dense = prune_by_moi(ens, atomnos, block=8)
+    np.testing.assert_array_equal(got, dense)
+
+
+def test_moi_grid_degenerate_single_cell(rng):
+    # all structures identical: one cell holds everything; the grid engine
+    # itself must still resolve exactly (keep only the first)
+    base = make_chain_coords(10, rng)
+    ens = np.stack([base] * 12)
+    atomnos = rng.integers(1, 18, size=10)
+    got = _grid_keep(ens, atomnos)
+    want = np_prune_by_moi(ens, atomnos)
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() == 1 and got[0]
+
+
+def test_moi_grid_wrapper_dispatch(rng, monkeypatch):
+    # force the wrapper's grid path at tiny sizes and check it agrees with
+    # the dense path byte-for-byte
+    import firecode_tpu.prune.cascade as cascade
+
+    ens = _ensemble_with_duplicates(rng, n_groups=5, group_size=5, scale=0.01)
+    atomnos = rng.integers(1, 18, size=ens.shape[1])
+    dense = prune_by_moi(ens, atomnos, block=8)
+    monkeypatch.setattr(cascade, "_GRID_MIN_B", 1)
+    grid = prune_by_moi(ens, atomnos, block=8)
+    np.testing.assert_array_equal(dense, grid)
