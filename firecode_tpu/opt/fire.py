@@ -120,6 +120,97 @@ def _optimize_batch_jit(coords, move_mask, fmax_thr, calc: Calculator, max_steps
     )
 
 
+# --- Newton-CG polish for straggler lanes -----------------------------------
+#
+# FIRE's step length is capped by the stiffest modes, so lanes whose residual
+# force lives in a shallow mode (soft torsions, H-bond librations) crawl: on
+# TPU GFN-FF ensembles a tail of lanes stalls at fmax 1.1-1.5x the threshold
+# for thousands of steps. Near the minimum Newton's method is quadratically
+# convergent and mode-stiffness-blind; the Hessian is never materialized —
+# CG solves H s = f with Hessian-vector products (jvp of the autodiff
+# forces), Steihaug-style: on negative curvature the lane bails out along the
+# current descent direction. A 4-point backtracking line accepts the longest
+# non-energy-raising scale, so the polish can never un-relax a structure.
+
+_POLISH_NEWTON = 6
+_POLISH_CG = 12
+_POLISH_TRUST = 0.15  # max per-atom displacement in one Newton step, Angstrom
+
+
+def _lane_dot(a, b):
+    return jnp.sum(a * b, axis=(-2, -1))
+
+
+@partial(jax.jit, static_argnames=("calc", "n_newton", "cg_iters"))
+def _newton_polish_jit(coords, converged, move_mask, fmax_thr, calc: Calculator,
+                       n_newton: int, cg_iters: int):
+    mask3 = move_mask[..., None]
+
+    def masked_forces(c):
+        return calc.energy_and_forces(c)[1] * mask3
+
+    scales = jnp.asarray([1.0, 0.5, 0.25, 0.125], coords.dtype)
+
+    def newton_iter(_, carry):
+        x, converged = carry
+        e0, f = calc.energy_and_forces(x)
+        f = f * mask3
+        fmax_now = jnp.max(jnp.sqrt(jnp.sum(f * f, axis=-1)), axis=-1)
+        converged = converged | (fmax_now < fmax_thr)
+        live = ~converged
+        b = f
+        b_norm = jnp.sqrt(_lane_dot(b, b))
+
+        def hvp(p):
+            return -jax.jvp(masked_forces, (x,), (p,))[1]
+
+        def cg_body(_, cg):
+            s, r, p, rs, active = cg
+            ap = hvp(p)
+            curv = _lane_dot(p, ap)
+            ok = active & (curv > 1e-12)
+            alpha = jnp.where(ok, rs / jnp.maximum(curv, 1e-12), 0.0)
+            s = s + alpha[:, None, None] * p
+            r = r - alpha[:, None, None] * ap
+            rs_new = _lane_dot(r, r)
+            active = ok & (jnp.sqrt(rs_new) > 1e-4 * b_norm)
+            beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+            p = r + beta[:, None, None] * p
+            return s, r, p, rs_new, active
+
+        s0 = jnp.zeros_like(x)
+        rs0 = _lane_dot(b, b)
+        active0 = live & (rs0 > 0.0)
+        s, _, _, _, _ = lax.fori_loop(
+            0, cg_iters, cg_body, (s0, b, b, rs0, active0)
+        )
+        # negative curvature on the very first CG step leaves s = 0: bail out
+        # along the (descent) gradient instead so the lane still moves
+        s_is_zero = _lane_dot(s, s) == 0.0
+        s = jnp.where((s_is_zero & live)[:, None, None], b, s)
+
+        # trust region: uniform per-lane rescale so no atom moves > trust
+        max_atom = jnp.max(jnp.sqrt(jnp.sum(s * s, axis=-1)), axis=-1)
+        s = s * jnp.minimum(1.0, _POLISH_TRUST / (max_atom + 1e-12))[:, None, None]
+        s = s * live[:, None, None]
+
+        # backtracking: longest scale that does not raise the energy
+        def scan_scale(found, sc):
+            e_try = calc.energy(x + sc * s)
+            ok = (e_try <= e0 + 1e-6) & live & (found < 0.0)
+            return jnp.where(ok, sc, found), None
+
+        found, _ = lax.scan(scan_scale, jnp.full(e0.shape, -1.0, coords.dtype), scales)
+        x = x + jnp.maximum(found, 0.0)[:, None, None] * s
+        return x, converged
+
+    coords, converged = lax.fori_loop(0, n_newton, newton_iter, (coords, converged))
+    e, f = calc.energy_and_forces(coords)
+    f = f * mask3
+    fmax_res = jnp.max(jnp.sqrt(jnp.sum(f * f, axis=-1)), axis=-1)
+    return coords, e, fmax_res, converged | (fmax_res < fmax_thr)
+
+
 # (calc, constraint-content) -> composed calculator, so repeated
 # optimize_batch calls reuse one jit cache entry. Keys hold the calculator
 # OBJECT (identity hash keeps it alive, so ids cannot be recycled into
@@ -148,6 +239,7 @@ def optimize_batch(
     restarts: int = 4,
     mesh=None,
     atom_mask=None,
+    polish: bool = True,
 ) -> OptResult:
     """FIRE-relax a conformer batch [B, N, 3] on the given calculator.
 
@@ -166,6 +258,13 @@ def optimize_batch(
     the all-converged reduction in the loop predicate). This is the TPU
     replacement for the reference's ProcessPoolExecutor over structures
     (firecode/embedder.py:2085-2242).
+
+    polish: after the FIRE rounds, lanes still above fmax get a few
+    matrix-free Newton-CG steps (Hessian-vector products via jvp of the
+    autodiff forces, Steihaug negative-curvature bail-out, energy-monotone
+    backtracking). FIRE's dt is capped by the stiffest modes, so residual
+    force in a shallow mode decays slowly; Newton is stiffness-blind and
+    finishes those straggler lanes in a handful of iterations.
 
     The step budget is split into `restarts` rounds with velocities re-zeroed
     between rounds: FIRE's dt collapses after uphill events and regrows
@@ -187,6 +286,7 @@ def optimize_batch(
                 max_steps=max_steps,
                 batch_chunk=batch_chunk,
                 mesh=mesh,
+                polish=polish,
                 atom_mask=(
                     atom_mask[start : start + batch_chunk]
                     if atom_mask is not None and jnp.ndim(atom_mask) == 2
@@ -240,6 +340,14 @@ def optimize_batch(
         total_steps += int(res.n_steps)
         if bool(jnp.all(res.converged)):
             break
+    if polish and not bool(jnp.all(res.converged)):
+        # straggler lanes: a few matrix-free Newton-CG steps finish what
+        # FIRE's stiff-mode-capped dt cannot (see _newton_polish_jit)
+        p_coords, p_e, p_fmax, p_conv = _newton_polish_jit(
+            res.coords, res.converged, move, fmax_arr, calc,
+            _POLISH_NEWTON, _POLISH_CG,
+        )
+        res = OptResult(p_coords, p_e, p_fmax, p_conv, res.n_steps)
     res = OptResult(
         res.coords, res.energy, res.fmax, res.converged, jnp.asarray(total_steps)
     )

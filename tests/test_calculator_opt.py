@@ -222,3 +222,38 @@ def test_liteff_model_r0_mode_ignores_input_distortion():
     cc_model = float(np.linalg.norm(res_model.coords[0][0] - res_model.coords[0][1]))
     assert cc_meas > 1.62  # measured mode keeps the distortion
     assert abs(cc_model - 1.536) < 0.05  # model mode recovers the truth
+
+
+def test_newton_polish_finishes_straggler_lanes(rng):
+    """Lanes FIRE leaves above fmax are finished by the Newton-CG polish.
+
+    A deliberately tiny FIRE budget at a tight threshold leaves soft-mode
+    residuals; the polish (Hessian-vector CG) must converge them without
+    raising any lane's energy."""
+    z = ETHANE_Z
+    coords = _ethane()
+    calc = LiteFF(z, coords)
+    batch = np.stack([coords + rng.normal(scale=0.04, size=coords.shape) for _ in range(4)])
+
+    raw = optimize_batch(calc, batch, fmax=1e-3, max_steps=80, polish=False)
+    assert not bool(np.all(np.asarray(raw.converged))), "budget too generous for the test"
+
+    pol = optimize_batch(calc, batch, fmax=1e-3, max_steps=80, polish=True)
+    assert bool(np.all(np.asarray(pol.converged))), np.asarray(pol.fmax)
+    assert np.all(np.asarray(pol.fmax) < 1e-3)
+    # the backtracking line is energy-monotone: polish never un-relaxes
+    assert np.all(np.asarray(pol.energy) <= np.asarray(raw.energy) + 1e-6)
+
+
+def test_newton_polish_respects_frozen_atoms(rng):
+    z = ETHANE_Z
+    coords = _ethane()
+    calc = LiteFF(z, coords)
+    distorted = coords + rng.normal(scale=0.04, size=coords.shape)
+    cons = Constraints().freeze_atoms([0, 2])
+    res = optimize_batch(
+        calc, distorted, constraints=cons, fmax=1e-3, max_steps=80, polish=True
+    )
+    out = np.asarray(res.coords)
+    np.testing.assert_allclose(out[[0, 2]], distorted[[0, 2]], atol=1e-10)
+    assert bool(res.converged), float(res.fmax)
