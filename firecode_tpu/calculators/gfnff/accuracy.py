@@ -115,6 +115,18 @@ def compute_report() -> dict:
     xbz = relax(fx.benzene())
     rec("benzene_cc", np.linalg.norm(xbz[0] - xbz[2]))
 
+    # second-row hydrides / thioether (S and P beyond the CHNO core)
+    xs = relax(fx.h2s())
+    rec("h2s_sh", np.linalg.norm(xs[1] - xs[0]))
+    rec("h2s_hsh", _angle(xs, 1, 0, 2))
+    xt = relax(fx.methanethiol())
+    rec("ch3sh_cs", np.linalg.norm(xt[1] - xt[0]))
+    xds = relax(fx.dimethyl_sulfide())
+    rec("dms_csc", _angle(xds, 1, 0, 2))
+    xp = relax(fx.phosphine())
+    rec("ph3_ph", np.linalg.norm(xp[1] - xp[0]))
+    rec("ph3_hph", _angle(xp, 1, 0, 2))
+
     # methanol hydroxyl rotor: rigid 60-degree rotation from the staggered
     # reference (the substitution-scaled sp3 barrier — 3 quads vs ethane's 9)
     from firecode_tpu.ops.torsion_ops import rotate_dihedral

@@ -114,7 +114,12 @@ def eeq_charges_np(coords, atomnos, charge, chi, eta, alpha, cnf, rcov) -> np.nd
 def bond_params(top, p):
     """(r0, depth, steepness) per bond from structural data + globals."""
     radii = jnp.asarray(p["bond_radii"])
-    rs = radii[top.bonds_z[:, 0]] + radii[top.bonds_z[:, 1]]
+    zi, zj = top.bonds_z[:, 0], top.bonds_z[:, 1]
+    rs = radii[zi] + radii[zj]
+    # X-H bonds of heavier p-block elements are shorter than the shared
+    # radius sum (near-pure-p bonding); per-element correction, 0 for CHNO
+    rh_off = jnp.asarray(p["rh_off"])
+    rs = rs + jnp.where(zj == 1, rh_off[zi], 0.0) + jnp.where(zi == 1, rh_off[zj], 0.0)
     # additive Pauling-style EN shortening (|dEN|^1.5): a multiplicative
     # form cannot satisfy C-C/C-H/O-H/C-O simultaneously with shared radii
     r0 = (rs - p["ken"] * top.bond_den ** 1.5) * (1.0 - p["kr_pi"] * top.bond_bo)

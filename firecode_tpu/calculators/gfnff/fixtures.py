@@ -295,6 +295,49 @@ def dimethylbiphenyl(twist_deg: float = 70.0) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate([z, extra_z]), np.vstack([x, extra_x])
 
 
+def h2s() -> tuple[np.ndarray, np.ndarray]:
+    r, th = 1.336, D(92.1)
+    return np.array([16, 1, 1]), np.array(
+        [[0, 0, 0], [r, 0, 0], [r * np.cos(th), r * np.sin(th), 0]]
+    )
+
+
+def phosphine() -> tuple[np.ndarray, np.ndarray]:
+    r, hph = 1.420, D(93.5)
+    cos_b2 = (1.0 + 2.0 * np.cos(hph)) / 3.0
+    beta = np.arccos(np.sqrt(max(cos_b2, 0.0)))
+    hs = [
+        [
+            r * np.sin(beta) * np.cos(D(120 * k)),
+            r * np.sin(beta) * np.sin(D(120 * k)),
+            r * np.cos(beta),
+        ]
+        for k in range(3)
+    ]
+    return np.array([15, 1, 1, 1]), np.array([[0, 0, 0]] + hs)
+
+
+def methanethiol() -> tuple[np.ndarray, np.ndarray]:
+    # C-S 1.819, S-H 1.340, CSH 96.5 (microwave, Kojima 1960)
+    c = np.array([0.0, 0.0, 0.0])
+    s = np.array([1.819, 0.0, 0.0])
+    th = D(96.5)
+    h_s = s + 1.34 * np.array([np.cos(np.pi - th), np.sin(np.pi - th), 0.0])
+    hs_c = _methyl(c, np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]))
+    return np.array([6, 16] + [1] * 4), np.vstack([c, s, *hs_c, h_s])
+
+
+def dimethyl_sulfide() -> tuple[np.ndarray, np.ndarray]:
+    # C-S 1.807, CSC 98.9 (microwave)
+    th = D(98.9)
+    s = np.array([0.0, 0.0, 0.0])
+    c1 = 1.807 * np.array([np.cos(th / 2), np.sin(th / 2), 0.0])
+    c2 = 1.807 * np.array([np.cos(th / 2), -np.sin(th / 2), 0.0])
+    hs1 = _methyl(c1, -c1 / np.linalg.norm(c1), np.array([0.0, 0.0, 1.0]))
+    hs2 = _methyl(c2, -c2 / np.linalg.norm(c2), np.array([0.0, 0.0, 1.0]))
+    return np.array([16, 6, 6] + [1] * 6), np.vstack([s, c1, c2, *hs1, *hs2])
+
+
 # --------------------------------------------------------------------------
 # literature targets: name -> (value, tolerance)
 # --------------------------------------------------------------------------
@@ -349,4 +392,12 @@ TARGETS: dict[str, tuple[float, float]] = {
     # amide C-N rotation, rigid 90-degree proxy (exp relaxed 16-18; the
     # rigid path keeps N planar so the proxy sits a few kcal above)
     "formamide_rotation": (20.0, 8.0),
+    # second-row hydride/thioether geometry (microwave): near-pure-p
+    # bonding at S/P — X-H radius offset + divalent-S/trivalent-P angles
+    "h2s_sh": (1.336, 0.03),
+    "h2s_hsh": (92.1, 5.0),
+    "ch3sh_cs": (1.819, 0.04),
+    "dms_csc": (98.9, 5.0),
+    "ph3_ph": (1.420, 0.03),
+    "ph3_hph": (93.5, 4.0),
 }

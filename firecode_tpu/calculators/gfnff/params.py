@@ -127,6 +127,16 @@ _PAULING: dict[int, float] = {
 }
 _PAULING_FALLBACK = 2.0
 
+# X-H bond r0 correction (A): heavier p-block hydrides bond through nearly
+# pure p orbitals, so X-H is shorter than the shared-radius sum tuned on
+# X-C bonds (S-H exp 1.336 vs S radius solved from C-S 1.819 predicting
+# 1.39). Additive EN cannot absorb it (dEN(S,H) = 0.38 is tiny). Zero for
+# H/C/N/O — their radii are solved exactly from the X-H lengths already.
+_RH_OFF: dict[int, float] = {
+    16: -0.050,
+}
+_RH_OFF_FALLBACK = 0.0
+
 # element bond-strength factor (sqrt-combined into the Morse well depth);
 # roughly tracks homolytic single-bond energies
 _BOND_F: dict[int, float] = {
@@ -154,6 +164,7 @@ C6_FREE = _table(_DISP, _DISP_FALLBACK, 0) * AU_C6_TO_KCAL_A6  # kcal/mol A^6
 VDW_RADII = _table(_DISP, _DISP_FALLBACK, 1)  # A
 EN_PAULING = _table(_PAULING, _PAULING_FALLBACK, 0)
 BOND_F = _table(_BOND_F, _BOND_F_FALLBACK, 0)
+RH_OFF = _table(_RH_OFF, _RH_OFF_FALLBACK, 0)
 
 # hybridization-dependent covalent radius scale (sp3, sp2, sp)
 HYB_R_SCALE = np.array([1.0, 0.95, 0.905])
@@ -191,6 +202,8 @@ class GlobalParams:
     bond_radii: np.ndarray = field(
         default_factory=lambda: _default_bond_radii()
     )
+    # per-element r0 shift applied to X-H bonds only (see _RH_OFF)
+    rh_off: np.ndarray = field(default_factory=lambda: RH_OFF.copy())
 
     # bond Morse well: depth = kb_s * sqrt(f_A f_B) * (1 + kb_pi * BO_pi),
     # width a = kb_a / r0 (dimensionless steepness)

@@ -187,11 +187,13 @@ def _angle_cos0(z: int, hyb_c: int) -> tuple[float, float]:
     if z == 8:
         return float(np.cos(np.radians(104.5))), 0.0
     if z == 16:
-        return float(np.cos(np.radians(98.0))), 0.0
+        # divalent S bonds through nearly pure p orbitals: H2S 92.1, DMS
+        # 98.9 (sterics open it) — 94.5 splits the error across both
+        return float(np.cos(np.radians(94.5))), 0.0
     if z == 7:
         return float(np.cos(np.radians(107.0))), 0.0
     if z == 15:
-        return float(np.cos(np.radians(96.0))), 0.0
+        return float(np.cos(np.radians(93.5))), 0.0  # PH3 exp 93.5
     return float(np.cos(np.radians(109.47))), 0.0
 
 

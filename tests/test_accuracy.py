@@ -146,3 +146,45 @@ def test_accuracy_artifact_up_to_date():
     with open(path) as fh:
         rep = json.load(fh)
     assert rep["n_within_tolerance"] >= 0.8 * rep["n_targets"]
+
+
+def test_second_row_hydride_geometry():
+    """S/P beyond the CHNO core: near-pure-p bonding at second-row
+    centers — X-H radius offset (S-H 1.336 vs radius-sum 1.39) and the
+    experimental divalent-S / trivalent-P equilibrium angles."""
+    from firecode_tpu.opt.fire import optimize_batch
+
+    def relax(zx, fmax=0.02):
+        z, x = zx
+        calc = GFNFF(z, x)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=fmax, max_steps=3000)
+        return np.asarray(res.coords[0])
+
+    def ang(x, i, c, j):
+        a, b = x[i] - x[c], x[j] - x[c]
+        return np.degrees(
+            np.arccos(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        )
+
+    xs = relax(fx.h2s())
+    tgt, tol = _target("h2s_sh")
+    assert abs(np.linalg.norm(xs[1] - xs[0]) - tgt) < tol
+    tgt, tol = _target("h2s_hsh")
+    assert abs(ang(xs, 1, 0, 2) - tgt) < tol
+
+    xp = relax(fx.phosphine())
+    tgt, tol = _target("ph3_ph")
+    assert abs(np.linalg.norm(xp[1] - xp[0]) - tgt) < tol
+    tgt, tol = _target("ph3_hph")
+    assert abs(ang(xp, 1, 0, 2) - tgt) < tol
+
+
+def test_thioether_geometry():
+    from firecode_tpu.opt.fire import optimize_batch
+
+    z, x = fx.methanethiol()
+    calc = GFNFF(z, x)
+    res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.02, max_steps=3000)
+    xo = np.asarray(res.coords[0])
+    tgt, tol = _target("ch3sh_cs")
+    assert abs(np.linalg.norm(xo[1] - xo[0]) - tgt) < tol
