@@ -127,6 +127,13 @@ def compute_report() -> dict:
     rec("ph3_ph", np.linalg.norm(xp[1] - xp[0]))
     rec("ph3_hph", _angle(xp, 1, 0, 2))
 
+    # halogens: C-X in the methyl halides, H-X in the hydrogen halides
+    for zx, sym in ((9, "f"), (17, "cl"), (35, "br"), (53, "i")):
+        xh = relax(fx.methyl_halide(zx))
+        rec(f"ch3{sym}_c{sym}", np.linalg.norm(xh[1] - xh[0]))
+        xd2 = relax(fx.hydrogen_halide(zx))
+        rec(f"h{sym}_h{sym}", np.linalg.norm(xd2[1] - xd2[0]))
+
     # methanol hydroxyl rotor: rigid 60-degree rotation from the staggered
     # reference (the substitution-scaled sp3 barrier — 3 quads vs ethane's 9)
     from firecode_tpu.ops.torsion_ops import rotate_dihedral

@@ -338,6 +338,23 @@ def dimethyl_sulfide() -> tuple[np.ndarray, np.ndarray]:
     return np.array([16, 6, 6] + [1] * 6), np.vstack([s, c1, c2, *hs1, *hs2])
 
 
+def methyl_halide(z_x: int) -> tuple[np.ndarray, np.ndarray]:
+    """CH3X at the experimental C-X length (CCCBDB microwave r0):
+    CH3F 1.383, CH3Cl 1.785, CH3Br 1.933, CH3I 2.132."""
+    r_cx = {9: 1.383, 17: 1.785, 35: 1.933, 53: 2.132}[z_x]
+    c = np.zeros(3)
+    x = np.array([r_cx, 0.0, 0.0])
+    hs = _methyl(c, np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]))
+    return np.array([6, z_x, 1, 1, 1]), np.vstack([c, x, *hs])
+
+
+def hydrogen_halide(z_x: int) -> tuple[np.ndarray, np.ndarray]:
+    """HX diatomics at the experimental r_e: HF 0.917, HCl 1.275,
+    HBr 1.414, HI 1.609."""
+    r = {9: 0.917, 17: 1.275, 35: 1.414, 53: 1.609}[z_x]
+    return np.array([z_x, 1]), np.array([[0.0, 0.0, 0.0], [r, 0.0, 0.0]])
+
+
 # --------------------------------------------------------------------------
 # literature targets: name -> (value, tolerance)
 # --------------------------------------------------------------------------
@@ -400,4 +417,15 @@ TARGETS: dict[str, tuple[float, float]] = {
     "dms_csc": (98.9, 5.0),
     "ph3_ph": (1.420, 0.03),
     "ph3_hph": (93.5, 4.0),
+    # halogens (F/Cl/Br/I): C-X from the methyl halides, H-X from the
+    # hydrogen halides (microwave, CCCBDB) — radius + X-H offset solved
+    # jointly, growing pure-p correction down the group
+    "ch3f_cf": (1.383, 0.04),
+    "ch3cl_ccl": (1.785, 0.04),
+    "ch3br_cbr": (1.933, 0.04),
+    "ch3i_ci": (2.132, 0.04),
+    "hf_hf": (0.917, 0.03),
+    "hcl_hcl": (1.275, 0.03),
+    "hbr_hbr": (1.414, 0.03),
+    "hi_hi": (1.609, 0.03),
 }

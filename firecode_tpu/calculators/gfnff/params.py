@@ -132,8 +132,15 @@ _PAULING_FALLBACK = 2.0
 # X-C bonds (S-H exp 1.336 vs S radius solved from C-S 1.819 predicting
 # 1.39). Additive EN cannot absorb it (dEN(S,H) = 0.38 is tiny). Zero for
 # H/C/N/O — their radii are solved exactly from the X-H lengths already.
+# Halogens solved jointly with their bond radii against the CH3X / HX
+# experimental pairs (CCCBDB): the radius zeroes C-X, this offset zeroes
+# H-X; the correction grows down the group as expected for pure-p bonding.
 _RH_OFF: dict[int, float] = {
+    9: -0.036,
     16: -0.050,
+    17: -0.086,
+    35: -0.096,
+    53: -0.104,
 }
 _RH_OFF_FALLBACK = 0.0
 

@@ -179,6 +179,27 @@ def test_second_row_hydride_geometry():
     assert abs(ang(xp, 1, 0, 2) - tgt) < tol
 
 
+def test_halogen_geometry():
+    """F/Cl/Br/I: C-X bond lengths in the methyl halides and H-X in the
+    hydrogen halides (microwave values, CCCBDB) — bond radii and the
+    pure-p X-H offsets are solved jointly, so both must land at once."""
+    from firecode_tpu.opt.fire import optimize_batch
+
+    def relax(zx):
+        z, x = zx
+        calc = GFNFF(z, x)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.02, max_steps=3000)
+        return np.asarray(res.coords[0])
+
+    for zx, sym in ((9, "f"), (17, "cl"), (35, "br"), (53, "i")):
+        xo = relax(fx.methyl_halide(zx))
+        tgt, tol = _target(f"ch3{sym}_c{sym}")
+        assert abs(np.linalg.norm(xo[1] - xo[0]) - tgt) < tol, sym
+        xd = relax(fx.hydrogen_halide(zx))
+        tgt, tol = _target(f"h{sym}_h{sym}")
+        assert abs(np.linalg.norm(xd[1] - xd[0]) - tgt) < tol, sym
+
+
 def test_thioether_geometry():
     from firecode_tpu.opt.fire import optimize_batch
 
