@@ -22,11 +22,16 @@ import time
 import numpy as np
 
 
-def make_ensemble(n_confs: int, seed: int = 0, dup: int = 4):
+def make_ensemble(n_confs: int, seed: int = 0, dup: int = 4, chunk: int = 0):
     """Synthetic conformer ensemble with real structural diversity:
     n_confs/dup distinct ROTAMERS of hexadecane (random angles on every
     rotable torsion, driven on device) x dup near-duplicate copies each, plus
-    random rigid motions — so both the MOI and the RMSD stages do real work."""
+    random rigid motions — so both the MOI and the RMSD stages do real work.
+
+    chunk > 0 generates in fixed-shape chunks written into a DONATED output
+    buffer, so peak HBM stays coords + O(chunk) — the 1e7-conformer ensemble
+    (6 GB of f32 coordinates) cannot afford the single-shot path's repeat/
+    jitter/rotate/permute transients (5x coords)."""
     import jax
     import jax.numpy as jnp
 
@@ -50,11 +55,7 @@ def make_ensemble(n_confs: int, seed: int = 0, dup: int = 4):
     masks = jnp.asarray(np.stack([t.mask for t in torsions]))
 
     @jax.jit
-    def generate(base, k1, k2, k3, k4):
-        # ONE compiled program for the whole generation pipeline (per-op
-        # eager dispatch is expensive on tunneled backends)
-        from firecode_tpu.ops.algebra import quaternion_to_matrix
-
+    def gen_distinct(base, k1):
         distinct = jnp.broadcast_to(base, (n_distinct, n_atoms, 3))
         keys = jax.random.split(k1, len(torsions))
         for t in range(len(torsions)):
@@ -62,18 +63,64 @@ def make_ensemble(n_confs: int, seed: int = 0, dup: int = 4):
                 keys[t], jnp.asarray([0.0, 120.0, 240.0], jnp.float32), (n_distinct,)
             )
             distinct = rotate_dihedral(distinct, quads[t], angles, masks[t])
+        return distinct
 
-        reps = jnp.repeat(distinct, dup, axis=0)[:n_confs]
-        reps = reps + 0.02 * jax.random.normal(k2, reps.shape, jnp.float32)
+    if not chunk:
 
-        quat = jax.random.normal(k3, (n_confs, 4), jnp.float32)
+        @jax.jit
+        def generate(base, k1, k2, k3, k4):
+            # ONE compiled program for the whole generation pipeline (per-op
+            # eager dispatch is expensive on tunneled backends)
+            from firecode_tpu.ops.algebra import quaternion_to_matrix
+
+            distinct = gen_distinct(base, k1)
+            reps = jnp.repeat(distinct, dup, axis=0)[:n_confs]
+            reps = reps + 0.02 * jax.random.normal(k2, reps.shape, jnp.float32)
+
+            quat = jax.random.normal(k3, (n_confs, 4), jnp.float32)
+            quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+            rot = quaternion_to_matrix(quat)
+            shift = 10.0 * jax.random.normal(k4, (n_confs, 1, 3), jnp.float32)
+            coords = jnp.einsum("bxy,bny->bnx", rot, reps) + shift
+            return coords[jax.random.permutation(k1, n_confs)]
+
+        return atomnos, generate(base, k1, k2, k3, k4)
+
+    # ---- chunked path ----
+    from functools import partial
+
+    from firecode_tpu.ops.algebra import quaternion_to_matrix
+
+    distinct = gen_distinct(base, k1)
+    # shuffle via a HOST permutation of (structure -> rotamer) assignments:
+    # duplicates end up scattered exactly as the single-shot permutation
+    # would scatter them, with no device-side 2x-coords permutation gather
+    perm = np.random.default_rng(seed).permutation(n_confs).astype(np.int32)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fill(out, distinct, idx, key, start):
+        k2, k3, k4 = jax.random.split(key, 3)
+        src = jnp.take(distinct, idx, axis=0)  # [chunk, N, 3]
+        src = src + 0.02 * jax.random.normal(k2, src.shape, jnp.float32)
+        quat = jax.random.normal(k3, (chunk, 4), jnp.float32)
         quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
         rot = quaternion_to_matrix(quat)
-        shift = 10.0 * jax.random.normal(k4, (n_confs, 1, 3), jnp.float32)
-        coords = jnp.einsum("bxy,bny->bnx", rot, reps) + shift
-        return coords[jax.random.permutation(k1, n_confs)]
+        shift = 10.0 * jax.random.normal(k4, (chunk, 1, 3), jnp.float32)
+        c = jnp.einsum("bxy,bny->bnx", rot, src) + shift
+        return jax.lax.dynamic_update_slice(out, c, (start, 0, 0))
 
-    return atomnos, generate(base, k1, k2, k3, k4)
+    out = jnp.zeros((n_confs, n_atoms, 3), dtype=jnp.float32)
+    n_full = n_confs // chunk
+    starts = [i * chunk for i in range(n_full)]
+    if n_confs % chunk:
+        # one extra full-shape chunk over the tail rows (same compiled
+        # program; the overlapped rows are simply regenerated)
+        starts.append(n_confs - chunk)
+    keys = jax.random.split(k2, len(starts))
+    for i, s in enumerate(starts):
+        idx = jnp.asarray(perm[s : s + chunk] // dup)
+        out = fill(out, distinct, idx, keys[i], jnp.int32(s))
+    return atomnos, out
 
 
 def run_cascade(
@@ -340,6 +387,27 @@ def main() -> None:
         stages_xl["total_s"] = round(total_xl, 3)
         stages_xl["compile_pass_s"] = round(compile_pass, 3)
         record["stages_1m"] = stages_xl
+
+        # 10M-conformer scale demonstration: 100x the reference's hard prune
+        # ceiling. 6 GB of f32 coordinates — generation is chunked into a
+        # donated buffer and the grid MOI engine row-chunks its candidate
+        # gathers, so the whole cascade fits one 16 GB chip. dup=100 models
+        # heavy embed oversampling.
+        if os.environ.get("FIRECODE_BENCH_XXL", "1") != "0":
+            del coords_xl
+            try:
+                atomnos_xxl, coords_xxl = make_ensemble(
+                    10_000_000, dup=100, chunk=1_000_000
+                )
+                _, compile_10m, _ = run_cascade(coords_xxl, atomnos_xxl, block, perms)
+                _, total_10m, stages_10m = run_cascade(
+                    coords_xxl, atomnos_xxl, block, perms
+                )
+                stages_10m["total_s"] = round(total_10m, 3)
+                stages_10m["compile_pass_s"] = round(compile_10m, 3)
+                record["stages_10m"] = stages_10m
+            except Exception as err:  # noqa: BLE001 — OOM-prone scale demo
+                record["stages_10m"] = {"skipped": repr(err)[:200]}
 
     if os.environ.get("FIRECODE_BENCH_SKIP_PALLAS_AB") != "1":
         record.update(bench_pallas_ab())

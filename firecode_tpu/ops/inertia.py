@@ -43,23 +43,71 @@ def inertia_tensor(coords: jnp.ndarray, masses: jnp.ndarray) -> jnp.ndarray:
     """Inertia tensor about the center of mass.
 
     coords: [..., N, 3], masses: [N] (zero-mass = padding) -> [..., 3, 3].
+
+    Built from the six unique components so the largest intermediate is
+    [..., N] (the [..., N, 3, 3] outer-product tensor would be 3 GB/1M
+    conformers at 50 atoms — a wall for the 1e7-ensemble cascade).
     """
     m = masses.astype(coords.dtype)
     msum = jnp.sum(m)
     com = jnp.sum(coords * m[:, None], axis=-2, keepdims=True) / msum
     r = coords - com
-    r2 = jnp.sum(r * r, axis=-1)  # [..., N]
-    eye = jnp.eye(3, dtype=coords.dtype)
-    # I_ab = sum_n m_n (r^2 delta_ab - r_a r_b)
-    outer = jnp.einsum("...na,...nb->...nab", r, r)
-    return jnp.einsum(
-        "n,...nab->...ab", m, r2[..., None, None] * eye - outer
-    )
+    x, y, z = r[..., 0], r[..., 1], r[..., 2]
+
+    def s(t):
+        return jnp.einsum("n,...n->...", m, t)
+
+    ixx = s(y * y + z * z)
+    iyy = s(x * x + z * z)
+    izz = s(x * x + y * y)
+    ixy = -s(x * y)
+    ixz = -s(x * z)
+    iyz = -s(y * z)
+    row0 = jnp.stack([ixx, ixy, ixz], axis=-1)
+    row1 = jnp.stack([ixy, iyy, iyz], axis=-1)
+    row2 = jnp.stack([ixz, iyz, izz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
 
 
 def inertia_moments(coords: jnp.ndarray, masses: jnp.ndarray) -> jnp.ndarray:
     """Principal moments of inertia, ascending. coords [..., N, 3] -> [..., 3]."""
     return eigvalsh3x3(inertia_tensor(coords, masses))
+
+
+def log_moments(coords: jnp.ndarray, masses: jnp.ndarray) -> jnp.ndarray:
+    """log principal moments (floored at 1e-30), the MOI-prune feature."""
+    return jnp.log(jnp.maximum(inertia_moments(coords, masses), 1e-30))
+
+
+_LM_CHUNK = 1 << 20
+
+
+def log_moments_chunked(
+    coords: jnp.ndarray, masses: jnp.ndarray, chunk: int = _LM_CHUNK
+) -> jnp.ndarray:
+    """log_moments for very large ensembles, computed in fixed-shape row
+    chunks so peak transient memory stays O(chunk * N) regardless of B
+    (one compile: the last chunk is padded to full size)."""
+    import jax
+    from jax import lax
+
+    b = coords.shape[0]
+    if b <= chunk:
+        return jax.jit(log_moments)(coords, masses)
+
+    slice_fn = jax.jit(
+        lambda c, m, s: log_moments(
+            lax.dynamic_slice_in_dim(c, s, chunk, axis=0), m
+        )
+    )
+    n_full = b // chunk
+    rem = b - n_full * chunk
+    parts = [slice_fn(coords, masses, i * chunk) for i in range(n_full)]
+    if rem:
+        # one extra full-shape call over the FINAL chunk rows [b-chunk, b)
+        # (same compiled program); keep only the rem rows not already covered
+        parts.append(slice_fn(coords, masses, b - chunk)[chunk - rem :])
+    return jnp.concatenate(parts, axis=0)
 
 
 def moi_align(coords: jnp.ndarray, masses: jnp.ndarray) -> jnp.ndarray:

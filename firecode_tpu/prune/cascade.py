@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from firecode_tpu.ops.inertia import inertia_moments
 from firecode_tpu.ops.rmsd import (
     _pairwise_correlation,
     _qcp_lambda_max,
@@ -513,14 +512,14 @@ def _make_moi_sim(rel_tol, max_dE, compare: str = "all") -> SimFn:
 
 @partial(jax.jit, static_argnames=("block", "has_energies", "full_column"))
 def _prune_moi_device(
-    coords, masses, energies, rel_tol, max_dE, block: int, has_energies: bool,
+    lm, energies, rel_tol, max_dE, block: int, has_energies: bool,
     full_column: bool = True,
 ) -> jnp.ndarray:
-    # masses of padded atoms are zero, so they contribute nothing to the
-    # inertia tensor — atom_mask support is mass-zeroing (see prune_by_moi)
-    b = coords.shape[0]
-    moments = inertia_moments(coords, masses)
-    feats = {"lm": jnp.log(jnp.maximum(moments, 1e-30))}
+    # takes precomputed log-moments [B, 3] (see log_moments_chunked: moment
+    # computation is row-chunked so 1e7-conformer ensembles never materialize
+    # coordinate-sized transients here)
+    b = lm.shape[0]
+    feats = {"lm": lm}
     if has_energies:
         feats["energies"] = energies
     feats, valid, _ = _pad_block(feats, b, block)
@@ -541,16 +540,14 @@ _GRID_OFFSETS = [
 ]
 
 
-def _moi_log_cells(coords, masses, rel_tol):
-    """Log-moments, cell coordinates, and packed int32 cell ids.
+def _cells_from_lm(lm, rel_tol):
+    """Cell coordinates and packed int32 cell ids from log-moments.
 
     Cell edge = the similarity radius c, so ANY similar pair (max-axis
     |d log m| < c) lands in the same or an adjacent cell: the 27-cell
     neighborhood is a complete candidate superset, and every candidate is
     re-verified with the exact test — the engine is exact, the grid only
     bounds where similar pairs can live."""
-    m = inertia_moments(coords, masses)
-    lm = jnp.log(jnp.maximum(m, 1e-30))
     c = -jnp.log1p(-rel_tol)
     cell = jnp.floor(lm / c).astype(jnp.int32)
     cell = cell - jnp.min(cell, axis=0)
@@ -563,15 +560,15 @@ def _moi_log_cells(coords, masses, rel_tol):
         * (n1.astype(jnp.float32))
         * (n2.astype(jnp.float32))
     )
-    return lm, c, cid, n1, n2, prod
+    return c, cid, n1, n2, prod
 
 
 @jax.jit
-def _moi_grid_stats(coords, masses, rel_tol):
+def _moi_grid_stats(lm, rel_tol):
     """(max same-cell-id run length, packed-id range) — sizes the grid
     kernel's static slot count and guards the int32 packing."""
-    b = coords.shape[0]
-    _, _, cid, _, _, prod = _moi_log_cells(coords, masses, rel_tol)
+    b = lm.shape[0]
+    _, cid, _, _, prod = _cells_from_lm(lm, rel_tol)
     cid_s = jnp.sort(cid)
     new_run = jnp.concatenate(
         [jnp.ones(1, dtype=bool), cid_s[1:] != cid_s[:-1]]
@@ -581,9 +578,16 @@ def _moi_grid_stats(coords, masses, rel_tol):
     return jnp.max(lengths), prod
 
 
-@partial(jax.jit, static_argnames=("m_slots", "has_energies"))
+# padded lanes get a sentinel cell id no real row can probe: real packed ids
+# live in [0, prod) and offsets reach at most +-prod, so with the wrapper
+# guard prod < 2**29 every real target stays < 2**30
+_GRID_PAD_CID = np.int32(1 << 30)
+
+
+@partial(jax.jit, static_argnames=("m_slots", "has_energies", "row_chunk"))
 def _prune_moi_grid_device(
-    coords, masses, energies, rel_tol, max_dE, m_slots: int, has_energies: bool
+    lm, energies, rel_tol, max_dE, m_slots: int, has_energies: bool,
+    row_chunk: int = 0,
 ) -> jnp.ndarray:
     """Exact greedy keep-first MOI prune via spatial hashing of the
     log-moment space: candidates come from the 27-cell neighborhood
@@ -591,36 +595,69 @@ def _prune_moi_grid_device(
     runs Jacobi sweeps over the candidate graph. Keep lists are identical
     to the dense engines and the numpy oracle — same similarity predicate,
     same earlier-index-wins order, unique fixpoint (the dependency graph
-    is acyclic in the original index)."""
-    b = coords.shape[0]
-    lm, c, cid, n1, n2, _ = _moi_log_cells(coords, masses, rel_tol)
+    is acyclic in the original index).
+
+    row_chunk (static) bounds transient memory: the per-offset candidate
+    gathers are [row_chunk, m_slots(, 3)] instead of [B, m_slots(, 3)], so
+    the 1e7-row ensemble never allocates multi-GB index/feature buffers."""
+    b = lm.shape[0]
+    if row_chunk <= 0 or row_chunk > b:
+        row_chunk = b
+    bp = -(-b // row_chunk) * row_chunk
+    c, cid, n1, n2, _ = _cells_from_lm(lm, rel_tol)
     order = jnp.argsort(cid)  # stable: ties resolve by original index
-    cid_s = cid[order]
-    lm_s = lm[order]
-    e_s = energies[order]
-    orig_s = order.astype(jnp.int32)
+    pad = bp - b
+    cid_s = jnp.pad(cid[order], (0, pad), constant_values=_GRID_PAD_CID)
+    lm_s = jnp.pad(lm[order], ((0, pad), (0, 0)))
+    e_s = jnp.pad(energies[order], (0, pad))
+    orig_s = jnp.pad(order.astype(jnp.int32), (0, pad), constant_values=bp)
+    valid = jnp.arange(bp) < b
 
     deltas = jnp.stack(
         [(dx * n1 + dy) * n2 + dz for dx, dy, dz in _GRID_OFFSETS]
     )  # [27] traced (n1/n2 are data-dependent)
     starts = jax.vmap(
         lambda d: jnp.searchsorted(cid_s, cid_s + d, side="left")
-    )(deltas)  # [27, B]
+    )(deltas)  # [27, Bp]
     slots = jnp.arange(m_slots)
 
-    def dead_from(keep_s):
-        dead = jnp.zeros(b, dtype=bool)
+    def dead_rows(keep_s, cid_r, lm_r, e_r, orig_r, starts_r):
+        dead_c = jnp.zeros(cid_r.shape[0], dtype=bool)
         for k in range(27):  # static unroll; buffers reuse across offsets
-            pos = starts[k][:, None] + slots[None, :]
-            posc = jnp.minimum(pos, b - 1)
-            ok = (pos < b) & (cid_s[posc] == (cid_s + deltas[k])[:, None])
-            dlm = jnp.max(jnp.abs(lm_s[posc] - lm_s[:, None, :]), axis=-1) < c
+            pos = starts_r[k][:, None] + slots[None, :]
+            posc = jnp.minimum(pos, bp - 1)
+            ok = (pos < bp) & (cid_s[posc] == (cid_r + deltas[k])[:, None])
+            dlm = jnp.max(jnp.abs(lm_s[posc] - lm_r[:, None, :]), axis=-1) < c
             sim = ok & dlm
             if has_energies:
-                sim = sim & (jnp.abs(e_s[posc] - e_s[:, None]) < max_dE)
-            sim = sim & (orig_s[posc] < orig_s[:, None])
-            dead = dead | jnp.any(sim & keep_s[posc], axis=1)
-        return dead
+                sim = sim & (jnp.abs(e_s[posc] - e_r[:, None]) < max_dE)
+            sim = sim & (orig_s[posc] < orig_r[:, None])
+            dead_c = dead_c | jnp.any(sim & keep_s[posc], axis=1)
+        return dead_c
+
+    if bp == row_chunk:
+
+        def dead_from(keep_s):
+            return dead_rows(keep_s, cid_s, lm_s, e_s, orig_s, starts)
+
+    else:
+
+        def dead_from(keep_s):
+            def chunk_body(ci, dead):
+                r0 = ci * row_chunk
+                dead_c = dead_rows(
+                    keep_s,
+                    lax.dynamic_slice_in_dim(cid_s, r0, row_chunk),
+                    lax.dynamic_slice_in_dim(lm_s, r0, row_chunk),
+                    lax.dynamic_slice_in_dim(e_s, r0, row_chunk),
+                    lax.dynamic_slice_in_dim(orig_s, r0, row_chunk),
+                    lax.dynamic_slice_in_dim(starts, r0, row_chunk, axis=1),
+                )
+                return lax.dynamic_update_slice(dead, dead_c, (r0,))
+
+            return lax.fori_loop(
+                0, bp // row_chunk, chunk_body, jnp.zeros(bp, dtype=bool)
+            )
 
     def cond(state):
         _, changed, it = state
@@ -628,20 +665,23 @@ def _prune_moi_grid_device(
 
     def body(state):
         keep_s, _, it = state
-        new = ~dead_from(keep_s)
+        new = valid & ~dead_from(keep_s)
         return new, jnp.any(new != keep_s), it + 1
 
     keep_s, _, _ = lax.while_loop(
-        cond, body, (jnp.ones(b, dtype=bool), True, jnp.int32(0))
+        cond, body, (valid, True, jnp.int32(0))
     )
-    return jnp.zeros(b, dtype=bool).at[order].set(keep_s)
+    return jnp.zeros(b, dtype=bool).at[order].set(keep_s[:b])
 
 
 # grid engine limits: fall back to the dense engines when a single cell
 # holds this many structures (degenerate near-identical ensembles) or the
-# packed cell-id range would overflow int32
+# packed cell-id range would overflow the int32 packing + sentinel headroom
 _GRID_MAX_SLOTS = 4096
 _GRID_MIN_B = 32768
+# candidate-gather transient budget: row_chunk * m_slots elements per buffer
+# (the [row_chunk, m_slots, 3] feature gather is the largest, ~400 MB at 2^25)
+_GRID_GATHER_BUDGET = 1 << 25
 
 
 def prune_by_moi(
@@ -685,22 +725,31 @@ def prune_by_moi(
     rel = jnp.asarray(rel_tol, coords.dtype)
     mde = jnp.asarray(max_dE, coords.dtype)
 
+    # the only coordinate-sized work: log principal moments, row-chunked so
+    # 1e7-conformer ensembles never allocate coordinate-scale transients
+    from firecode_tpu.ops.inertia import log_moments_chunked
+
+    lm = log_moments_chunked(coords, masses)
+
     if b >= _GRID_MIN_B:
         # grid engine: O(B * cell-occupancy) candidate tests instead of
         # O(B^2); exact (same keep lists). Sized by the measured max
         # same-cell run; degenerate ensembles fall back to the dense path.
-        max_run, prod = _moi_grid_stats(coords, masses, rel)
+        max_run, prod = _moi_grid_stats(lm, rel)
         max_run = int(max_run)
-        if max_run <= _GRID_MAX_SLOTS and float(prod) < 2**30:
+        if max_run <= _GRID_MAX_SLOTS and float(prod) < 2**29:
             m_slots = max(8, 1 << (max_run - 1).bit_length())
+            row_chunk = min(
+                max(4096, _GRID_GATHER_BUDGET // m_slots),
+                1 << (b - 1).bit_length(),
+            )
             keep = _prune_moi_grid_device(
-                coords, masses, e, rel, mde, m_slots, has_energies
+                lm, e, rel, mde, m_slots, has_energies, row_chunk
             )
             return np.asarray(keep)
 
     keep = _prune_moi_device(
-        coords,
-        masses,
+        lm,
         e,
         rel,
         mde,

@@ -144,8 +144,9 @@ def test_prune_by_rmsd_with_atom_mask(rng):
     assert unmasked.sum() != want.sum() or not np.array_equal(unmasked, want)
 
 
-def _grid_keep(ens, atomnos, energies=None, max_dE=1.0, rel_tol=0.01):
+def _grid_keep(ens, atomnos, energies=None, max_dE=1.0, rel_tol=0.01, row_chunk=0):
     """Drive the grid MOI engine directly (the wrapper gates it on size)."""
+    from firecode_tpu.ops.inertia import log_moments_chunked
     from firecode_tpu.prune.cascade import (
         _moi_grid_stats,
         _prune_moi_grid_device,
@@ -159,12 +160,13 @@ def _grid_keep(ens, atomnos, energies=None, max_dE=1.0, rel_tol=0.01):
         energies if has_e else np.zeros(len(ens)), dtype=coords.dtype
     )
     rel = jnp.asarray(rel_tol, coords.dtype)
-    max_run, prod = _moi_grid_stats(coords, masses, rel)
+    lm = log_moments_chunked(coords, masses)
+    max_run, prod = _moi_grid_stats(lm, rel)
     m_slots = max(8, 1 << (int(max_run) - 1).bit_length())
     return np.asarray(
         _prune_moi_grid_device(
-            coords, masses, e, rel, jnp.asarray(max_dE, coords.dtype),
-            m_slots, has_e,
+            lm, e, rel, jnp.asarray(max_dE, coords.dtype),
+            m_slots, has_e, row_chunk,
         )
     )
 
@@ -176,6 +178,31 @@ def test_moi_grid_engine_matches_oracle(rng):
     want = np_prune_by_moi(ens, atomnos)
     np.testing.assert_array_equal(got, want)
     assert got.sum() < len(ens)
+
+
+def test_moi_grid_engine_row_chunked(rng):
+    """Row-chunked candidate buffers (the 1e7-scale memory path) must give
+    the same keep lists as the un-chunked engine, including when the
+    ensemble size is not a multiple of the chunk (sentinel-padded lanes)."""
+    ens = _ensemble_with_duplicates(rng, n_groups=7, group_size=5, scale=0.01)
+    assert len(ens) == 35
+    want = np_prune_by_moi(ens, np.full(ens.shape[1], 6))
+    atomnos = np.full(ens.shape[1], 6)
+    for chunk in (8, 16, 35, 64):
+        got = _grid_keep(ens, atomnos, row_chunk=chunk)
+        np.testing.assert_array_equal(got, want, err_msg=f"row_chunk={chunk}")
+
+
+def test_log_moments_chunked_matches_unchunked(rng):
+    from firecode_tpu.ops.inertia import log_moments, log_moments_chunked
+    from firecode_tpu.pt import MASSES
+
+    coords = jnp.asarray(rng.normal(size=(37, 8, 3)).astype(np.float32))
+    masses = jnp.asarray(MASSES[rng.integers(1, 18, size=8)], jnp.float32)
+    want = np.asarray(log_moments(coords, masses))
+    for chunk in (5, 16, 37, 50):
+        got = np.asarray(log_moments_chunked(coords, masses, chunk=chunk))
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=f"chunk={chunk}")
 
 
 def test_moi_grid_engine_energy_gated(rng):
