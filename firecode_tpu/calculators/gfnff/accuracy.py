@@ -127,6 +127,19 @@ def compute_report() -> dict:
     rec("ph3_ph", np.linalg.norm(xp[1] - xp[0]))
     rec("ph3_hph", _angle(xp, 1, 0, 2))
 
+    # sp carbon: alkyne/nitrile triple bonds and the CONTRACTED sigma
+    # bonds next to them (s-character: alkyne C-H, propyne/acetonitrile
+    # sp3-sp single bonds)
+    xac = relax(fx.acetylene())
+    rec("acetylene_cc", np.linalg.norm(xac[1] - xac[0]))
+    rec("acetylene_ch", np.linalg.norm(xac[2] - xac[0]))
+    xhc = relax(fx.hydrogen_cyanide())
+    rec("hcn_cn", np.linalg.norm(xhc[1] - xhc[0]))
+    xpy = relax(fx.propyne())
+    rec("propyne_cc_single", np.linalg.norm(xpy[1] - xpy[0]))
+    xan = relax(fx.acetonitrile())
+    rec("acetonitrile_cc", np.linalg.norm(xan[1] - xan[0]))
+
     # halogens: C-X in the methyl halides, H-X in the hydrogen halides
     for zx, sym in ((9, "f"), (17, "cl"), (35, "br"), (53, "i")):
         xh = relax(fx.methyl_halide(zx))

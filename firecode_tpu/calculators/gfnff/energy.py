@@ -121,8 +121,14 @@ def bond_params(top, p):
     rh_off = jnp.asarray(p["rh_off"])
     rs = rs + jnp.where(zj == 1, rh_off[zi], 0.0) + jnp.where(zi == 1, rh_off[zj], 0.0)
     # additive Pauling-style EN shortening (|dEN|^1.5): a multiplicative
-    # form cannot satisfy C-C/C-H/O-H/C-O simultaneously with shared radii
-    r0 = (rs - p["ken"] * top.bond_den ** 1.5) * (1.0 - p["kr_pi"] * top.bond_bo)
+    # form cannot satisfy C-C/C-H/O-H/C-O simultaneously with shared radii.
+    # Sigma bonds to sp centers contract further with s-character (alkyne
+    # C-H 1.061, propyne C-C 1.459); gated by (1 - BO_pi) so the triple
+    # bond itself, already contracted via kr_pi, is not double-counted
+    sp_con = p["kr_sp"] * top.bond_nsp * jnp.maximum(1.0 - top.bond_bo, 0.0)
+    r0 = (rs - p["ken"] * top.bond_den ** 1.5 - sp_con) * (
+        1.0 - p["kr_pi"] * top.bond_bo
+    )
     d = p["kb_s"] * top.bond_f * (1.0 + p["kb_pi"] * top.bond_bo)
     a = p["kb_a"] / r0
     return r0, d, a

@@ -43,7 +43,7 @@ from firecode_tpu.calculators.gfnff.params import GlobalParams
 # the same reason.
 FIT_KEYS = (
     "ken", "kr_pi", "kt_sp3", "kt_pi", "kt_conj", "krep", "krep_13",
-    "krep_hb", "s8", "a1", "a2", "khb", "khb_sp2", "kt_bo_exp",
+    "krep_hb", "s8", "a1", "a2", "khb", "khb_sp2", "kt_bo_exp", "kr_sp",
 )
 _REG = 0.05  # pull toward the defaults (log space)
 # krep is pinned HARD: the torsion constants (kt_sp3 free) absorb whatever
@@ -88,6 +88,13 @@ def _build_cases():
     add("formic_dimer", fx.formic_acid_dimer())
     add("biphenyl", fx.biphenyl(44.0))
     add("formamide", fx.formamide())
+    # sp-carbon corpus: triple bonds (pi contraction) + the contracted
+    # sigma bonds next to them (kr_sp, gated by 1-BO). The generic
+    # force-matching and bond-length-anchoring residuals cover them.
+    add("acetylene", fx.acetylene())
+    add("hcn", fx.hydrogen_cyanide())
+    add("propyne", fx.propyne())
+    add("acetonitrile", fx.acetonitrile())
 
     def scan(base, quad, mask_idx, angles, n_atoms):
         mask = np.zeros(n_atoms, bool)

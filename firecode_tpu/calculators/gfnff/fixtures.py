@@ -338,6 +338,45 @@ def dimethyl_sulfide() -> tuple[np.ndarray, np.ndarray]:
     return np.array([16, 6, 6] + [1] * 6), np.vstack([s, c1, c2, *hs1, *hs2])
 
 
+def acetylene() -> tuple[np.ndarray, np.ndarray]:
+    """Linear HCCH (microwave r0): C#C 1.203, C-H 1.061 — the sp-carbon
+    anchor (s-character contracts sigma bonds to sp centers)."""
+    rcc, rch = 1.203, 1.061
+    return np.array([6, 6, 1, 1]), np.array(
+        [[0, 0, 0], [rcc, 0, 0], [-rch, 0, 0], [rcc + rch, 0, 0]]
+    )
+
+
+def hydrogen_cyanide() -> tuple[np.ndarray, np.ndarray]:
+    """Linear HCN (microwave r_e): C#N 1.153, C-H 1.065."""
+    rcn, rch = 1.153, 1.065
+    return np.array([6, 7, 1]), np.array(
+        [[0, 0, 0], [rcn, 0, 0], [-rch, 0, 0]]
+    )
+
+
+def propyne() -> tuple[np.ndarray, np.ndarray]:
+    """H3C-C#C-H (microwave): the sp3-sp SINGLE bond at 1.459 A — 0.077 A
+    below the sp3-sp3 value; the s-character contraction anchor for C-C."""
+    r_single, r_triple, r_ch_sp = 1.459, 1.206, 1.061
+    c_me = np.zeros(3)
+    c1 = np.array([r_single, 0, 0])
+    c2 = c1 + np.array([r_triple, 0, 0])
+    h_sp = c2 + np.array([r_ch_sp, 0, 0])
+    hs = _methyl(c_me, np.array([1.0, 0, 0]), np.array([0, 1.0, 0]), r_ch=1.088)
+    return np.array([6, 6, 6, 1, 1, 1, 1]), np.vstack([c_me, c1, c2, h_sp, *hs])
+
+
+def acetonitrile() -> tuple[np.ndarray, np.ndarray]:
+    """H3C-C#N (microwave): sp3-sp C-C 1.458, C#N 1.157."""
+    r_single, r_cn = 1.458, 1.157
+    c_me = np.zeros(3)
+    c1 = np.array([r_single, 0, 0])
+    n = c1 + np.array([r_cn, 0, 0])
+    hs = _methyl(c_me, np.array([1.0, 0, 0]), np.array([0, 1.0, 0]), r_ch=1.092)
+    return np.array([6, 6, 7, 1, 1, 1]), np.vstack([c_me, c1, n, *hs])
+
+
 def methyl_halide(z_x: int) -> tuple[np.ndarray, np.ndarray]:
     """CH3X at the experimental C-X length (CCCBDB microwave r0):
     CH3F 1.383, CH3Cl 1.785, CH3Br 1.933, CH3I 2.132."""
@@ -428,4 +467,13 @@ TARGETS: dict[str, tuple[float, float]] = {
     "hcl_hcl": (1.275, 0.03),
     "hbr_hbr": (1.414, 0.03),
     "hi_hi": (1.609, 0.03),
+    # sp carbon (alkynes/nitriles, microwave): the triple bond via the pi
+    # contraction, the NEIGHBORING sigma bonds via the (1-BO)-gated
+    # s-character term kr_sp — alkyne C-H is 0.03 A below sp3 C-H and the
+    # propyne sp3-sp single bond 0.077 A below the sp3-sp3 value
+    "acetylene_cc": (1.203, 0.04),
+    "acetylene_ch": (1.061, 0.035),
+    "hcn_cn": (1.153, 0.035),
+    "propyne_cc_single": (1.459, 0.045),
+    "acetonitrile_cc": (1.458, 0.045),
 }

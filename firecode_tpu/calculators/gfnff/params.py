@@ -221,6 +221,11 @@ class GlobalParams:
     ken: float = 0.07
     kr_q: float = 0.0  # charge correction on r0 (off by default)
     kr_pi: float = 0.14  # pi-bond contraction fraction (C=C 1.52 -> 1.33)
+    # per-sp-atom sigma-bond contraction (A), gated by (1 - BO_pi) in the
+    # energy: alkyne C-H 1.061 vs sp3 1.091 (one sp atom), propyne
+    # H3C-C#CH central C-C 1.459 vs 1.536 — s-character shortens sigma
+    # bonds to sp centers; anchored on the alkyne/nitrile fixture set
+    kr_sp: float = 0.045
     # angles: E = ka * sqrt(fA fB) * damp * (cos t - cos t0)^2
     ka_s: float = 55.0
     ka_lin: float = 28.0  # linear-center prefactor on (1 + cos t)

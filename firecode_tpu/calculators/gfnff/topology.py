@@ -70,6 +70,11 @@ class GFNFFTopology(NamedTuple):
     bond_den: jnp.ndarray  # f[B] |EN_i - EN_j|
     bond_bo: jnp.ndarray  # f[B] pi bond order [0, 1.5]
     bond_f: jnp.ndarray  # f[B] sqrt(f_i * f_j) element strength
+    bond_nsp: jnp.ndarray  # f[B] count of sp-hybridized atoms in the bond
+    #   (0/1/2): sigma bonds to sp centers contract with s-character
+    #   (alkyne C-H 1.061 vs sp3 1.091, propyne C-C 1.459 vs 1.536); the
+    #   contraction is gated by (1 - BO_pi) in the energy so multiple bonds
+    #   (already contracted via kr_pi) are not double-counted
     # angles
     angles: jnp.ndarray  # i32[A, 3] i-center-j
     angle_cos0: jnp.ndarray  # f[A]
@@ -168,14 +173,17 @@ def _pi_bond_order(i, j, atomnos, coords, hyb) -> float:
     """Smooth geometric pi bond order in [0, 1.5] from bond contraction.
 
     Only non-sp3 pairs can carry pi density; a bond at the single-bond
-    radii sum has BO_pi 0, at 14% contraction 1 (double), clipped at 1.5
-    (triple). Perceived once from the setup geometry."""
+    radii sum has BO_pi 0, at 14% contraction 1 (double), clipped at 1.6
+    (experimental triples sit at ~1.55 on this scale — acetylene 1.203 A —
+    so a 1.5 cap would bias every triple bond ~0.03 A long; the cap only
+    guards against pathologically compressed input contacts). Perceived
+    once from the setup geometry."""
     if hyb[i] == SP3 or hyb[j] == SP3:
         return 0.0
     rs = float(COVALENT_RADII[atomnos[i]] + COVALENT_RADII[atomnos[j]])
     rd = 0.86 * rs
     r = float(np.linalg.norm(coords[i] - coords[j]))
-    return float(np.clip((rs - r) / (rs - rd), 0.0, 1.5))
+    return float(np.clip((rs - r) / (rs - rd), 0.0, 1.6))
 
 
 def _angle_cos0(z: int, hyb_c: int) -> tuple[float, float]:
@@ -222,6 +230,9 @@ def build_gfnff_topology(
     bond_bo = [bo_pi[b] for b in bonds]
     bond_f = [
         float(np.sqrt(BOND_F[atomnos[i]] * BOND_F[atomnos[j]])) for i, j in bonds
+    ]
+    bond_nsp = [
+        float(int(hyb[i] == SP) + int(hyb[j] == SP)) for i, j in bonds
     ]
 
     # ---------------- angles ----------------
@@ -393,6 +404,7 @@ def build_gfnff_topology(
         bond_den=arr(bond_den),
         bond_bo=arr(bond_bo),
         bond_f=arr(bond_f),
+        bond_nsp=arr(bond_nsp),
         angles=jnp.asarray(pad_idx(angles, 3)),
         angle_cos0=arr(a_cos0),
         angle_lin=arr(a_lin),

@@ -119,6 +119,41 @@ def test_pi_bond_perception():
     assert np.asarray(top2.bond_bo).max() < 0.05
 
 
+def test_sp_carbon_topology_and_contraction():
+    """sp centers: triple-bond pi density, linear angles, and the
+    (1-BO)-gated s-character contraction of neighboring sigma bonds."""
+    from firecode_tpu.calculators.gfnff import build_gfnff_topology
+    from firecode_tpu.calculators.gfnff.energy import bond_params
+    from firecode_tpu.calculators.gfnff.params import load_fitted
+
+    z, x = fx.propyne()
+    top = build_gfnff_topology(z, x)
+    bonds = np.asarray(top.bonds)
+    bo = np.asarray(top.bond_bo)
+    nsp = np.asarray(top.bond_nsp)
+    k_triple = next(k for k, (i, j) in enumerate(bonds) if {i, j} == {1, 2})
+    k_single = next(k for k, (i, j) in enumerate(bonds) if {i, j} == {0, 1})
+    assert bo[k_triple] > 1.3  # C#C
+    assert bo[k_single] < 0.05  # sp3-sp sigma (gated by the sp3 side)
+    assert nsp[k_triple] == 2.0 and nsp[k_single] == 1.0
+    # the sp3-sp single bond r0 is contracted below the sp3-sp3 value
+    p = load_fitted().asdict()
+    r0, _, _ = bond_params(top, p)
+    z2, x2 = fx.ethane()
+    r0_eth, _, _ = bond_params(build_gfnff_topology(z2, x2), p)
+    k_cc_eth = next(
+        k for k, (i, j) in enumerate(np.asarray(build_gfnff_topology(z2, x2).bonds))
+        if z2[i] == 6 and z2[j] == 6
+    )
+    assert float(r0[k_single]) < float(r0_eth[k_cc_eth]) - 0.02
+    # angles through the sp carbons are linear
+    lin = np.asarray(top.angle_lin)
+    angles = np.asarray(top.angles)
+    for a, (i, c, j) in enumerate(angles):
+        if c in (1, 2):
+            assert lin[a] == 1.0
+
+
 def test_hb_triplets_generated():
     from firecode_tpu.calculators.gfnff import build_gfnff_topology
 
