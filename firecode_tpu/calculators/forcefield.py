@@ -156,8 +156,19 @@ def build_ff_topology(
             n_per, sign = 3.0, 1.0  # staggered minima
         else:
             n_per, sign = 2.0, -1.0  # planar minima (conjugation-like)
+        def _ang_deg(a, c, b):
+            v1, v2 = coords[a] - coords[c], coords[b] - coords[c]
+            cos = v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2) + 1e-12)
+            return float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+
         for i in j_nb:
             for l in k_nb:
+                # skip quads through a near-linear center (alkynes,
+                # nitriles, allenes): the dihedral is undefined there and
+                # its gradient is NaN — same exclusion GFN-FF applies to
+                # SP-centered torsions
+                if _ang_deg(i, j, k) > 165.0 or _ang_deg(j, k, l) > 165.0:
+                    continue
                 torsions.append((i, j, k, l))
                 tor_n.append(n_per)
                 tor_sign.append(sign)
@@ -234,11 +245,17 @@ def _model_bond_r0(atomnos, coords, graph, bonds) -> list[float]:
     p = load_fitted()
     hyb = _hybridization(graph, atomnos, coords)
     out = []
+    from firecode_tpu.calculators.gfnff.topology import SP
+
     for i, j in bonds:
         rs = float(p.bond_radii[atomnos[i]] + p.bond_radii[atomnos[j]])
         den = abs(float(EN_PAULING[atomnos[i]] - EN_PAULING[atomnos[j]]))
         bo = _pi_bond_order(i, j, atomnos, coords, hyb)
-        out.append((rs - p.ken * den**1.5) * (1.0 - p.kr_pi * bo))
+        # same s-character contraction of sigma bonds to sp centers as
+        # the GFN-FF bond model (energy.bond_params)
+        nsp = float(int(hyb[i] == SP) + int(hyb[j] == SP))
+        sp_con = p.kr_sp * nsp * max(1.0 - bo, 0.0)
+        out.append((rs - p.ken * den**1.5 - sp_con) * (1.0 - p.kr_pi * bo))
     return out
 
 

@@ -140,6 +140,36 @@ def compute_report() -> dict:
     xan = relax(fx.acetonitrile())
     rec("acetonitrile_cc", np.linalg.norm(xan[1] - xan[0]))
 
+    # saturated ring: chair geometry + the twist-boat local minimum. Both
+    # starts are descent basins (fixtures build each pucker mode), so the
+    # relaxed twist-boat staying twist-boat is itself part of the test —
+    # if it collapsed to the chair the gap would read ~0 and fail.
+    xch = relax(fx.cyclohexane("chair"))
+    rec("cyclohexane_cc", float(np.mean(
+        [np.linalg.norm(xch[k] - xch[(k + 1) % 6]) for k in range(6)]
+    )))
+    rec("cyclohexane_ccc", float(np.mean(
+        [_angle(xch, (k - 1) % 6, k, (k + 1) % 6) for k in range(6)]
+    )))
+    xtb_ring = relax(fx.cyclohexane("twist_boat"))
+    ring_calc = GFNFF(*fx.cyclohexane("chair"))
+    rec("cyclohexane_twist_boat",
+        float(ring_calc.energy(jnp.asarray(xtb_ring)))
+        - float(ring_calc.energy(jnp.asarray(xch))))
+
+    # heteroaromatics: pyridine (aromatic N), furan / thiophene
+    # (conjugated divalent O/S perceived SP2; bond alternation)
+    xpyr = relax(fx.pyridine())
+    rec("pyridine_cn", np.linalg.norm(xpyr[0] - xpyr[1]))
+    rec("pyridine_cnc", _angle(xpyr, 1, 0, 5))
+    xfu = relax(fx.furan())
+    rec("furan_co", np.linalg.norm(xfu[0] - xfu[1]))
+    rec("furan_c2c3", np.linalg.norm(xfu[1] - xfu[2]))
+    rec("furan_c3c4", np.linalg.norm(xfu[2] - xfu[3]))
+    xth = relax(fx.thiophene())
+    rec("thiophene_sc", np.linalg.norm(xth[0] - xth[1]))
+    rec("thiophene_csc", _angle(xth, 1, 0, 4))
+
     # halogens: C-X in the methyl halides, H-X in the hydrogen halides
     for zx, sym in ((9, "f"), (17, "cl"), (35, "br"), (53, "i")):
         xh = relax(fx.methyl_halide(zx))

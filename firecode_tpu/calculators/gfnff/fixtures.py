@@ -377,6 +377,101 @@ def acetonitrile() -> tuple[np.ndarray, np.ndarray]:
     return np.array([6, 6, 7, 1, 1, 1]), np.vstack([c_me, c1, n, *hs])
 
 
+def cyclohexane(conf: str = "chair") -> tuple[np.ndarray, np.ndarray]:
+    """C6H12 ring (electron diffraction r_g: C-C 1.536, CCC 111.4).
+
+    conf="chair" puckers the ring with the alternating-sign (m=3) mode;
+    conf="twist_boat" uses the m=2 Cremer-Pople mode at phi=30 deg (the D2
+    twist-boat, a genuine local minimum ~5.9 kcal/mol above the chair) —
+    both are descent basins, so plain FIRE relax stays in the started
+    conformer. Hydrogens sit on the tetrahedral complement of the two ring
+    bonds (axial/equatorial emerge from the pucker)."""
+    if conf == "chair":
+        a = 0.25
+        r = float(np.sqrt(1.536**2 - 4 * a * a))
+        zs = a * (-1.0) ** np.arange(6)
+    elif conf == "twist_boat":
+        r, b = 1.49, 0.44
+        zs = b * np.cos(np.pi / 6 + 2 * np.pi * np.arange(6) * 2 / 6)
+    else:  # pragma: no cover
+        raise ValueError(conf)
+    ang = np.arange(6) * np.pi / 3
+    C = np.stack([r * np.cos(ang), r * np.sin(ang), zs], axis=1)
+    half = np.radians(53.6)  # half the HCH angle
+    hs = []
+    for k in range(6):
+        b1 = C[(k - 1) % 6] - C[k]
+        b1 /= np.linalg.norm(b1)
+        b2 = C[(k + 1) % 6] - C[k]
+        b2 /= np.linalg.norm(b2)
+        u = -(b1 + b2)
+        u /= np.linalg.norm(u)
+        v = np.cross(b1, b2)
+        v /= np.linalg.norm(v)
+        for s in (+1.0, -1.0):
+            hs.append(C[k] + 1.093 * (u * np.cos(half) + s * v * np.sin(half)))
+    return np.array([6] * 6 + [1] * 12), np.vstack([C, *hs])
+
+
+def _c2v_ring(het_z, r_het_c, r_cc, ang_het, ang_c2, n_ring, r_ch, extra_cc=None):
+    """Planar C2v heteroaromatic ring: heteroatom at the top (index 0),
+    ring walked symmetrically down both sides from experimental bond
+    lengths/angles; exocyclic H on every carbon along the exterior
+    bisector. Returns (atomnos, coords) with ring atoms first (0..n-1,
+    ordered het, C2, C3, [C4,] C3', C2')."""
+    half = np.radians(ang_het / 2.0)
+    het = np.zeros(2)
+    c2 = het + r_het_c * np.array([np.sin(half), -np.cos(half)])
+    # interior direction at C2: rotate the C2->het direction by the ring
+    # angle at C2 (toward the mirror axis, i.e. negative rotation)
+    def rot(v, a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([c * v[0] - s * v[1], s * v[0] + c * v[1]])
+
+    d_to_het = (het - c2) / np.linalg.norm(het - c2)
+    c3 = c2 + r_cc * rot(d_to_het, np.radians(ang_c2))
+    ring = [het, c2, c3]
+    if n_ring == 6:
+        # C4 sits on the mirror axis, bonded to C3 at extra_cc
+        y4 = c3[1] - np.sqrt(max(extra_cc**2 - c3[0] ** 2, 1e-9))
+        ring.append(np.array([0.0, y4]))
+    ring += [np.array([-p[0], p[1]]) for p in ring[1:3][::-1]]
+    ring = np.array(ring)
+    zs = [het_z] + [6] * (len(ring) - 1)
+    xs = [np.array([p[0], p[1], 0.0]) for p in ring]
+    m = len(ring)
+    for k in range(1, m):
+        b1 = ring[(k - 1) % m] - ring[k]
+        b2 = ring[(k + 1) % m] - ring[k]
+        u = -(b1 / np.linalg.norm(b1) + b2 / np.linalg.norm(b2))
+        u /= np.linalg.norm(u)
+        xs.append(np.array([*(ring[k] + r_ch * u), 0.0]))
+        zs.append(1)
+    return np.array(zs), np.vstack(xs)
+
+
+def pyridine() -> tuple[np.ndarray, np.ndarray]:
+    """Pyridine at the experimental geometry (microwave r0): C-N 1.338,
+    C2-C3 1.394, C3-C4 1.392, CNC 116.9, NC2C3 123.8 — the aromatic-N
+    anchor (geometric pi orders must reproduce the short aromatic C-N)."""
+    return _c2v_ring(7, 1.338, 1.394, 116.9, 123.8, 6, 1.082, extra_cc=1.392)
+
+
+def furan() -> tuple[np.ndarray, np.ndarray]:
+    """Furan at the experimental geometry (microwave rs): C-O 1.362,
+    C2=C3 1.361, C3-C4 1.431, COC 106.5, OC2C3 110.7 — the conjugated-O
+    anchor: the divalent O bridging two sp2 carbons is perceived SP2 so
+    its bonds carry pi density (and the C2=C3 / C3-C4 alternation must
+    survive relaxation)."""
+    return _c2v_ring(8, 1.362, 1.361, 106.5, 110.7, 5, 1.076)
+
+
+def thiophene() -> tuple[np.ndarray, np.ndarray]:
+    """Thiophene at the experimental geometry (microwave rs): S-C 1.714,
+    C2=C3 1.370, C3-C4 1.423, CSC 92.2, SC2C3 111.5."""
+    return _c2v_ring(16, 1.714, 1.370, 92.2, 111.5, 5, 1.078)
+
+
 def methyl_halide(z_x: int) -> tuple[np.ndarray, np.ndarray]:
     """CH3X at the experimental C-X length (CCCBDB microwave r0):
     CH3F 1.383, CH3Cl 1.785, CH3Br 1.933, CH3I 2.132."""
@@ -476,4 +571,23 @@ TARGETS: dict[str, tuple[float, float]] = {
     "hcn_cn": (1.153, 0.035),
     "propyne_cc_single": (1.459, 0.045),
     "acetonitrile_cc": (1.458, 0.045),
+    # saturated ring (cyclohexane): chair geometry (electron diffraction
+    # r_g) and the chair -> twist-boat electronic energy gap (high-level
+    # ab initio ~5.9 kcal/mol; exp dH ~5.5) — tests that ring closure
+    # keeps bond/angle anchors AND that the torsion model produces the
+    # right conformer ordering with a real twist-boat local minimum
+    "cyclohexane_cc": (1.536, 0.03),
+    "cyclohexane_ccc": (111.4, 2.0),
+    "cyclohexane_twist_boat": (5.9, 2.0),
+    # heteroaromatics (microwave): aromatic C-N via geometric pi orders
+    # with the divalent-sp2-N angle reference; conjugated divalent O/S
+    # (SP2 second pass) carries pi density on the het-C bonds, and the
+    # furan/thiophene C2=C3 / C3-C4 alternation must survive relaxation
+    "pyridine_cn": (1.338, 0.035),
+    "pyridine_cnc": (116.9, 2.5),
+    "furan_co": (1.362, 0.035),
+    "furan_c2c3": (1.361, 0.035),
+    "furan_c3c4": (1.431, 0.035),
+    "thiophene_sc": (1.714, 0.035),
+    "thiophene_csc": (92.2, 3.0),
 }

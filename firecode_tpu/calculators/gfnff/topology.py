@@ -166,6 +166,18 @@ def _hybridization(graph, atomnos, coords) -> np.ndarray:
             hyb[i] = SP2 if deg <= 3 else SP3
         else:
             hyb[i] = SP3
+    # second pass: a divalent O/S bridging two sp2/sp HEAVY centers is
+    # conjugated (furan, thiophene, diaryl ethers) — mark it SP2 so its
+    # bonds can carry geometric pi density. Deliberately narrow: an O-H
+    # or a single sp3 neighbor keeps the ether/alcohol O at SP3, so
+    # alcohols, ethers and carboxylic O-H are untouched.
+    for i in range(n):
+        if int(atomnos[i]) in (8, 16) and graph.degree[i] == 2:
+            nbrs = sorted(graph.neighbors(i))
+            if all(
+                int(atomnos[j]) > 1 and hyb[j] in (SP2, SP) for j in nbrs
+            ):
+                hyb[i] = SP2
     return hyb
 
 
@@ -186,18 +198,29 @@ def _pi_bond_order(i, j, atomnos, coords, hyb) -> float:
     return float(np.clip((rs - r) / (rs - rd), 0.0, 1.6))
 
 
-def _angle_cos0(z: int, hyb_c: int) -> tuple[float, float]:
-    """(cos theta0, is_linear) for an angle centered on element z."""
+def _angle_cos0(z: int, hyb_c: int, deg: int = 0) -> tuple[float, float]:
+    """(cos theta0, is_linear) for an angle centered on element z with
+    graph degree `deg`."""
     if hyb_c == SP:
         return -1.0, 1.0
-    if hyb_c == SP2:
-        return float(np.cos(np.radians(120.0))), 0.0
+    # divalent O/S keep their element angle even when conjugation marks
+    # them SP2 (furan COC 106.5, thiophene CSC 92.2): the lone pairs, not
+    # the pi system, set the angle — and carbonyl O (SP2, degree 1) never
+    # centers an angle, so this ordering costs nothing
     if z == 8:
         return float(np.cos(np.radians(104.5))), 0.0
     if z == 16:
         # divalent S bonds through nearly pure p orbitals: H2S 92.1, DMS
         # 98.9 (sterics open it) — 94.5 splits the error across both
         return float(np.cos(np.radians(94.5))), 0.0
+    if z == 7 and hyb_c == SP2 and deg == 2:
+        # divalent sp2 N (pyridine-type / imine): the in-plane lone pair
+        # closes the angle below 120 — methanimine HNC 110.4, pyridine CNC
+        # 116.9 (there, ring closure against the stiff neighboring CCC/CCN
+        # angles opens the relaxed value well above this reference)
+        return float(np.cos(np.radians(110.0))), 0.0
+    if hyb_c == SP2:
+        return float(np.cos(np.radians(120.0))), 0.0
     if z == 7:
         return float(np.cos(np.radians(107.0))), 0.0
     if z == 15:
@@ -242,7 +265,9 @@ def build_gfnff_topology(
         for x in range(len(nbrs)):
             for y in range(x + 1, len(nbrs)):
                 i, j = nbrs[x], nbrs[y]
-                cos0, lin = _angle_cos0(int(atomnos[c]), int(hyb[c]))
+                cos0, lin = _angle_cos0(
+                    int(atomnos[c]), int(hyb[c]), int(graph.degree[c])
+                )
                 angles.append((i, c, j))
                 a_cos0.append(cos0)
                 a_lin.append(lin)

@@ -200,6 +200,86 @@ def test_halogen_geometry():
         assert abs(np.linalg.norm(xd[1] - xd[0]) - tgt) < tol, sym
 
 
+def test_cyclohexane_ring_and_twist_boat():
+    """Saturated ring closure: chair geometry stays at the acyclic C-C
+    anchors (ED r_g 1.536 / CCC 111.4) and the twist-boat is a genuine
+    local minimum ~5.9 kcal/mol above the chair (its staying twist-boat
+    under plain FIRE descent is part of the assertion — a collapse to the
+    chair would read a ~0 gap)."""
+    from firecode_tpu.opt.fire import optimize_batch
+
+    def relax(zx):
+        z, x = zx
+        calc = GFNFF(z, x)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.01, max_steps=6000)
+        return np.asarray(res.coords[0])
+
+    xc = relax(fx.cyclohexane("chair"))
+    cc = np.mean([np.linalg.norm(xc[k] - xc[(k + 1) % 6]) for k in range(6)])
+    tgt, tol = _target("cyclohexane_cc")
+    assert abs(cc - tgt) < tol
+
+    def ang(x, i, c, j):
+        a, b = x[i] - x[c], x[j] - x[c]
+        return np.degrees(
+            np.arccos(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        )
+
+    ccc = np.mean([ang(xc, (k - 1) % 6, k, (k + 1) % 6) for k in range(6)])
+    tgt, tol = _target("cyclohexane_ccc")
+    assert abs(ccc - tgt) < tol
+
+    xt = relax(fx.cyclohexane("twist_boat"))
+    calc = GFNFF(*fx.cyclohexane("chair"))
+    gap = float(calc.energy(jnp.asarray(xt))) - float(calc.energy(jnp.asarray(xc)))
+    tgt, tol = _target("cyclohexane_twist_boat")
+    assert abs(gap - tgt) < tol
+
+
+def test_heteroaromatic_geometry():
+    """Pyridine / furan / thiophene (microwave): aromatic C-N needs the
+    geometric pi order on N bonds plus the divalent-sp2-N angle
+    reference; furan/thiophene need the conjugated divalent O/S to be
+    perceived SP2 (second perception pass) so the het-C bonds carry pi
+    density — and the C2=C3 / C3-C4 alternation must survive relaxation."""
+    from firecode_tpu.opt.fire import optimize_batch
+
+    def relax(zx):
+        z, x = zx
+        calc = GFNFF(z, x)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.01, max_steps=6000)
+        return np.asarray(res.coords[0])
+
+    def ang(x, i, c, j):
+        a, b = x[i] - x[c], x[j] - x[c]
+        return np.degrees(
+            np.arccos(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        )
+
+    xp = relax(fx.pyridine())
+    tgt, tol = _target("pyridine_cn")
+    assert abs(np.linalg.norm(xp[0] - xp[1]) - tgt) < tol
+    tgt, tol = _target("pyridine_cnc")
+    assert abs(ang(xp, 1, 0, 5) - tgt) < tol
+
+    xf = relax(fx.furan())
+    tgt, tol = _target("furan_co")
+    assert abs(np.linalg.norm(xf[0] - xf[1]) - tgt) < tol
+    c2c3 = np.linalg.norm(xf[1] - xf[2])
+    c3c4 = np.linalg.norm(xf[2] - xf[3])
+    tgt, tol = _target("furan_c2c3")
+    assert abs(c2c3 - tgt) < tol
+    tgt, tol = _target("furan_c3c4")
+    assert abs(c3c4 - tgt) < tol
+    assert c3c4 > c2c3 + 0.02  # bond alternation survives relaxation
+
+    xt = relax(fx.thiophene())
+    tgt, tol = _target("thiophene_sc")
+    assert abs(np.linalg.norm(xt[0] - xt[1]) - tgt) < tol
+    tgt, tol = _target("thiophene_csc")
+    assert abs(ang(xt, 1, 0, 4) - tgt) < tol
+
+
 def test_thioether_geometry():
     from firecode_tpu.opt.fire import optimize_batch
 

@@ -257,3 +257,25 @@ def test_newton_polish_respects_frozen_atoms(rng):
     out = np.asarray(res.coords)
     np.testing.assert_allclose(out[[0, 2]], distorted[[0, 2]], atol=1e-10)
     assert bool(res.converged), float(res.fmax)
+
+
+def test_liteff_linear_molecule_no_nan():
+    """Torsion quads through near-linear centers (alkynes/nitriles) are
+    excluded at topology build: the dihedral is undefined there and used
+    to propagate NaN through the forces, killing whole FIRE lanes."""
+    import jax
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.gfnff import fixtures as fx
+
+    for mode in ("input", "model"):
+        z, x = fx.propyne()
+        calc = LiteFF(z, x, r0_mode=mode)
+        g = jax.grad(lambda c: calc.energy(c))(jnp.asarray(x))
+        assert bool(jnp.isfinite(g).all()), mode
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.02, max_steps=2000)
+        assert bool(np.isfinite(np.asarray(res.coords)).all()), mode
+    # the model-mode r0 carries the sp s-character contraction: the
+    # sp3-sp single bond relaxes clearly below ethane's sp3-sp3 value
+    xo = np.asarray(res.coords[0])
+    assert np.linalg.norm(xo[0] - xo[1]) < 1.49
