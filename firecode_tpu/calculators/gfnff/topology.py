@@ -27,6 +27,7 @@ import numpy as np
 
 from firecode_tpu.calculators.gfnff.params import (
     BOND_F,
+    STRETCH_F,
     C6_FREE,
     CHI,
     EEQ_ALPHA,
@@ -70,6 +71,9 @@ class GFNFFTopology(NamedTuple):
     bond_den: jnp.ndarray  # f[B] |EN_i - EN_j|
     bond_bo: jnp.ndarray  # f[B] pi bond order [0, 1.5]
     bond_f: jnp.ndarray  # f[B] sqrt(f_i * f_j) element strength
+    bond_sf: jnp.ndarray  # f[B] sqrt(sf_i * sf_j) Morse stretch factor
+    #   (STRETCH_F: force-constant-calibrated, separate from bond_f so
+    #   stretch curvature and angle stiffness are decoupled)
     bond_nsp: jnp.ndarray  # f[B] count of sp-hybridized atoms in the bond
     #   (0/1/2): sigma bonds to sp centers contract with s-character
     #   (alkyne C-H 1.061 vs sp3 1.091, propyne C-C 1.459 vs 1.536); the
@@ -254,6 +258,10 @@ def build_gfnff_topology(
     bond_f = [
         float(np.sqrt(BOND_F[atomnos[i]] * BOND_F[atomnos[j]])) for i, j in bonds
     ]
+    bond_sf = [
+        float(np.sqrt(STRETCH_F[atomnos[i]] * STRETCH_F[atomnos[j]]))
+        for i, j in bonds
+    ]
     bond_nsp = [
         float(int(hyb[i] == SP) + int(hyb[j] == SP)) for i, j in bonds
     ]
@@ -429,6 +437,7 @@ def build_gfnff_topology(
         bond_den=arr(bond_den),
         bond_bo=arr(bond_bo),
         bond_f=arr(bond_f),
+        bond_sf=arr(bond_sf),
         bond_nsp=arr(bond_nsp),
         angles=jnp.asarray(pad_idx(angles, 3)),
         angle_cos0=arr(a_cos0),

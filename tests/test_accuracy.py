@@ -236,6 +236,59 @@ def test_cyclohexane_ring_and_twist_boat():
     assert abs(gap - tgt) < tol
 
 
+def test_harmonic_frequencies_calibrated():
+    """Stretch modes against experimental harmonic frequencies: the Morse
+    well table is calibrated against 21 literature stretching force
+    constants (calibrate_stretch.py), decoupled from angle stiffness.
+    Mode identification is by sorted position (index-robust)."""
+    from firecode_tpu.opt.fire import optimize_batch
+    from firecode_tpu.opt.hessian import (
+        batch_hessian,
+        cleanup_frequencies,
+        mass_weighted_frequencies,
+    )
+
+    def vib(zx):
+        z, x = zx
+        calc = GFNFF(z, x)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=5e-4,
+                             max_steps=8000)
+        h = batch_hessian(calc, res.coords)
+        f_all, _ = mass_weighted_frequencies(np.asarray(h[0]), z)
+        xr = np.asarray(res.coords[0])
+        v, n_imag = cleanup_frequencies(f_all, xr)
+        assert n_imag == 0
+        return np.sort(np.asarray(v)), xr
+
+    vw, xw = vib(fx.water())
+    vme, xme = vib(fx.methane())
+    vet, xet = vib(fx.ethane())
+    for name, val in (
+        ("freq_water_bend", vw[0]),
+        ("freq_water_stretch", vw[-1]),
+        ("freq_methane_ch", vme[-1]),
+        ("freq_ethane_torsion", vet[0]),
+    ):
+        tgt, tol = _target(name)
+        assert abs(val - tgt) < tol, (name, val)
+
+    # NIST standard entropies through the full thermo stack (qRRHO vib +
+    # 1 atm translational + sigma-corrected rotational), cal/mol/K
+    from firecode_tpu.thermo import rrho_thermo
+
+    def s298(v, x, z, sigma):
+        th = rrho_thermo(v, x, z, P=1.0, sigma=sigma)
+        return (th["s_vib"] + th["s_trans"] + th["s_rot"]) * 1000.0
+
+    for name, val in (
+        ("s298_water", s298(vw, xw, fx.water()[0], sigma=2)),
+        ("s298_methane", s298(vme, xme, fx.methane()[0], sigma=12)),
+        ("s298_ethane", s298(vet, xet, fx.ethane()[0], sigma=6)),
+    ):
+        tgt, tol = _target(name)
+        assert abs(val - tgt) < tol, (name, val)
+
+
 def test_heteroaromatic_geometry():
     """Pyridine / furan / thiophene (microwave): aromatic C-N needs the
     geometric pi order on N bonds plus the divalent-sp2-N angle
