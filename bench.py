@@ -370,6 +370,11 @@ def main() -> None:
         "stages": stages,
     }
 
+    # A/B runs BEFORE the XL scale stages so a late-stage device fault
+    # cannot cost the headline + kernel numbers
+    if os.environ.get("FIRECODE_BENCH_SKIP_PALLAS_AB") != "1":
+        record.update(bench_pallas_ab())
+
     # 1M-conformer scale demonstration (the thesis of the rebuild: the
     # reference SKIPS pruning above 1e5 structures; here the full cascade,
     # rot-corr included, runs at 1e6). Higher duplication (x20) models the
@@ -392,8 +397,10 @@ def main() -> None:
         # ceiling. 6 GB of f32 coordinates — generation is chunked into a
         # donated buffer and the grid MOI engine row-chunks its candidate
         # gathers, so the whole cascade fits one 16 GB chip. dup=100 models
-        # heavy embed oversampling.
-        if os.environ.get("FIRECODE_BENCH_XXL", "1") != "0":
+        # heavy embed oversampling. OPT-IN (FIRECODE_BENCH_XXL=1): the grid
+        # MOI engine's gather-bound sweeps are TPU-hostile and killed the
+        # worker at this scale; off by default until the banded sweep lands.
+        if os.environ.get("FIRECODE_BENCH_XXL", "0") == "1":
             del coords_xl
             try:
                 atomnos_xxl, coords_xxl = make_ensemble(
@@ -409,8 +416,6 @@ def main() -> None:
             except Exception as err:  # noqa: BLE001 — OOM-prone scale demo
                 record["stages_10m"] = {"skipped": repr(err)[:200]}
 
-    if os.environ.get("FIRECODE_BENCH_SKIP_PALLAS_AB") != "1":
-        record.update(bench_pallas_ab())
     print(json.dumps(record))
 
 

@@ -678,7 +678,14 @@ def _prune_moi_grid_device(
 # holds this many structures (degenerate near-identical ensembles) or the
 # packed cell-id range would overflow the int32 packing + sentinel headroom
 _GRID_MAX_SLOTS = 4096
-_GRID_MIN_B = 32768
+# The grid engine's Jacobi sweeps are gather-bound: 27 offsets x ~6 gathered
+# tables per sweep. On TPU, gathers do not vectorize onto the VPU, so at
+# 100k it measured 9.7 s where the dense blockwise engine (pure tiled
+# compares) does 0.17 s, and at 1M the program killed the TPU worker. The
+# dense engines are proven to 1M (2.1 s); the grid engine only wins where
+# O(B^2) is truly unaffordable, so it is gated to B > 2.5M until the
+# banded (gather-free) sweep lands. Keep lists are identical either way.
+_GRID_MIN_B = 2_500_000
 # candidate-gather transient budget: row_chunk * m_slots elements per buffer
 # (the [row_chunk, m_slots, 3] feature gather is the largest, ~400 MB at 2^25)
 _GRID_GATHER_BUDGET = 1 << 25
