@@ -397,10 +397,11 @@ def main() -> None:
         # ceiling. 6 GB of f32 coordinates — generation is chunked into a
         # donated buffer and the grid MOI engine row-chunks its candidate
         # gathers, so the whole cascade fits one 16 GB chip. dup=100 models
-        # heavy embed oversampling. OPT-IN (FIRECODE_BENCH_XXL=1): the grid
-        # MOI engine's gather-bound sweeps are TPU-hostile and killed the
-        # worker at this scale; off by default until the banded sweep lands.
-        if os.environ.get("FIRECODE_BENCH_XXL", "0") == "1":
+        # heavy embed oversampling. The banded MOI engine drives the Jacobi
+        # fixpoint in host-bounded slab programs (measured: 161.5 s for the
+        # 10M MOI stage on one v5e chip, no giant single program for the
+        # tunnel to kill). Set FIRECODE_BENCH_XXL=0 to skip the ~8 min.
+        if os.environ.get("FIRECODE_BENCH_XXL", "1") != "0":
             del coords_xl
             try:
                 atomnos_xxl, coords_xxl = make_ensemble(

@@ -563,19 +563,34 @@ def _cells_from_lm(lm, rel_tol):
     return c, cid, n1, n2, prod
 
 
-@jax.jit
-def _moi_grid_stats(lm, rel_tol):
-    """(max same-cell-id run length, packed-id range) — sizes the grid
-    kernel's static slot count and guards the int32 packing."""
+@partial(jax.jit, static_argnames=("r_chunk",))
+def _moi_grid_stats(lm, rel_tol, r_chunk: int = 512):
+    """(max same-cell-id run length, packed-id range, band spread) — sizes
+    the banded kernel's static [R, W] tile and guards the int32 packing.
+
+    The band spread is the largest searchsorted-start gap between a
+    row-chunk's first and last rows over all 27 offsets: candidates of the
+    whole chunk live within spread + max_run contiguous sorted positions."""
     b = lm.shape[0]
-    _, cid, _, _, prod = _cells_from_lm(lm, rel_tol)
+    _, cid, n1, n2, prod = _cells_from_lm(lm, rel_tol)
     cid_s = jnp.sort(cid)
     new_run = jnp.concatenate(
         [jnp.ones(1, dtype=bool), cid_s[1:] != cid_s[:-1]]
     )
     run_id = jnp.cumsum(new_run) - 1
     lengths = jnp.zeros(b, dtype=jnp.int32).at[run_id].add(1)
-    return jnp.max(lengths), prod
+    first = jnp.arange(0, b, r_chunk)
+    last = jnp.minimum(first + r_chunk - 1, b - 1)
+    deltas = jnp.stack(
+        [(dx * n1 + dy) * n2 + dz for dx, dy, dz in _GRID_OFFSETS]
+    )
+
+    def spread(d):
+        s0 = jnp.searchsorted(cid_s, cid_s[first] + d, side="left")
+        s1 = jnp.searchsorted(cid_s, cid_s[last] + d, side="left")
+        return jnp.max(s1 - s0)
+
+    return jnp.max(lengths), prod, jnp.max(jax.vmap(spread)(deltas))
 
 
 # padded lanes get a sentinel cell id no real row can probe: real packed ids
@@ -584,26 +599,12 @@ def _moi_grid_stats(lm, rel_tol):
 _GRID_PAD_CID = np.int32(1 << 30)
 
 
-@partial(jax.jit, static_argnames=("m_slots", "has_energies", "row_chunk"))
-def _prune_moi_grid_device(
-    lm, energies, rel_tol, max_dE, m_slots: int, has_energies: bool,
-    row_chunk: int = 0,
-) -> jnp.ndarray:
-    """Exact greedy keep-first MOI prune via spatial hashing of the
-    log-moment space: candidates come from the 27-cell neighborhood
-    (O(B * occupancy) pair tests instead of O(B^2)), the greedy fixpoint
-    runs Jacobi sweeps over the candidate graph. Keep lists are identical
-    to the dense engines and the numpy oracle — same similarity predicate,
-    same earlier-index-wins order, unique fixpoint (the dependency graph
-    is acyclic in the original index).
-
-    row_chunk (static) bounds transient memory: the per-offset candidate
-    gathers are [row_chunk, m_slots(, 3)] instead of [B, m_slots(, 3)], so
-    the 1e7-row ensemble never allocates multi-GB index/feature buffers."""
+@partial(jax.jit, static_argnames=("w", "r_chunk"))
+def _banded_setup(lm, energies, rel_tol, w: int, r_chunk: int):
+    """Sort by packed cell id, sentinel-pad, and precompute per-(offset,
+    chunk) band starts for the banded MOI engine."""
     b = lm.shape[0]
-    if row_chunk <= 0 or row_chunk > b:
-        row_chunk = b
-    bp = -(-b // row_chunk) * row_chunk
+    bp = -(-max(b, w) // r_chunk) * r_chunk
     c, cid, n1, n2, _ = _cells_from_lm(lm, rel_tol)
     order = jnp.argsort(cid)  # stable: ties resolve by original index
     pad = bp - b
@@ -616,79 +617,127 @@ def _prune_moi_grid_device(
     deltas = jnp.stack(
         [(dx * n1 + dy) * n2 + dz for dx, dy, dz in _GRID_OFFSETS]
     )  # [27] traced (n1/n2 are data-dependent)
-    starts = jax.vmap(
-        lambda d: jnp.searchsorted(cid_s, cid_s + d, side="left")
-    )(deltas)  # [27, Bp]
-    slots = jnp.arange(m_slots)
+    # band start per (offset, chunk) = candidate-run start of the chunk's
+    # FIRST row; rows further into the chunk only ever look forward of it
+    band_starts = jax.vmap(
+        lambda d: jnp.searchsorted(cid_s, cid_s[::r_chunk] + d, side="left")
+    )(deltas)  # [27, C]
+    band_starts = jnp.clip(band_starts, 0, bp - w)
+    return c, cid_s, lm_s, e_s, orig_s, order, valid, deltas, band_starts
 
-    def dead_rows(keep_s, cid_r, lm_r, e_r, orig_r, starts_r):
-        dead_c = jnp.zeros(cid_r.shape[0], dtype=bool)
+
+@partial(
+    jax.jit,
+    static_argnames=("w", "r_chunk", "n_slab", "has_energies"),
+    donate_argnums=(0,),
+)
+def _banded_sweep_slab(
+    dead, keep_s, c, cid_s, lm_s, e_s, orig_s, deltas, band_starts, max_dE,
+    c0, w: int, r_chunk: int, n_slab: int, has_energies: bool,
+):
+    """One bounded slab of a Jacobi sweep: recompute dead[] for the n_slab
+    row-chunks starting at chunk c0, against the CURRENT keep_s. Idempotent
+    in (keep_s), so overlapping slabs (the clamped final slab) are safe."""
+    bp = cid_s.shape[0]
+
+    def chunk_body(i, dead):
+        ci = c0 + i
+        r0 = ci * r_chunk
+        cid_r = lax.dynamic_slice_in_dim(cid_s, r0, r_chunk)
+        lm_r = lax.dynamic_slice_in_dim(lm_s, r0, r_chunk)
+        e_r = lax.dynamic_slice_in_dim(e_s, r0, r_chunk)
+        orig_r = lax.dynamic_slice_in_dim(orig_s, r0, r_chunk)
+        dead_c = jnp.zeros(r_chunk, dtype=bool)
         for k in range(27):  # static unroll; buffers reuse across offsets
-            pos = starts_r[k][:, None] + slots[None, :]
-            posc = jnp.minimum(pos, bp - 1)
-            ok = (pos < bp) & (cid_s[posc] == (cid_r + deltas[k])[:, None])
-            dlm = jnp.max(jnp.abs(lm_s[posc] - lm_r[:, None, :]), axis=-1) < c
-            sim = ok & dlm
-            if has_energies:
-                sim = sim & (jnp.abs(e_s[posc] - e_r[:, None]) < max_dE)
-            sim = sim & (orig_s[posc] < orig_r[:, None])
-            dead_c = dead_c | jnp.any(sim & keep_s[posc], axis=1)
-        return dead_c
-
-    if bp == row_chunk:
-
-        def dead_from(keep_s):
-            return dead_rows(keep_s, cid_s, lm_s, e_s, orig_s, starts)
-
-    else:
-
-        def dead_from(keep_s):
-            def chunk_body(ci, dead):
-                r0 = ci * row_chunk
-                dead_c = dead_rows(
-                    keep_s,
-                    lax.dynamic_slice_in_dim(cid_s, r0, row_chunk),
-                    lax.dynamic_slice_in_dim(lm_s, r0, row_chunk),
-                    lax.dynamic_slice_in_dim(e_s, r0, row_chunk),
-                    lax.dynamic_slice_in_dim(orig_s, r0, row_chunk),
-                    lax.dynamic_slice_in_dim(starts, r0, row_chunk, axis=1),
-                )
-                return lax.dynamic_update_slice(dead, dead_c, (r0,))
-
-            return lax.fori_loop(
-                0, bp // row_chunk, chunk_body, jnp.zeros(bp, dtype=bool)
+            b0 = band_starts[k, ci]
+            cid_b = lax.dynamic_slice_in_dim(cid_s, b0, w)
+            lm_b = lax.dynamic_slice_in_dim(lm_s, b0, w)
+            e_b = lax.dynamic_slice_in_dim(e_s, b0, w)
+            orig_b = lax.dynamic_slice_in_dim(orig_s, b0, w)
+            keep_b = lax.dynamic_slice_in_dim(keep_s, b0, w)
+            sim = cid_b[None, :] == (cid_r + deltas[k])[:, None]
+            sim &= (
+                jnp.max(jnp.abs(lm_b[None, :, :] - lm_r[:, None, :]), axis=-1)
+                < c
             )
+            if has_energies:
+                sim &= jnp.abs(e_b[None, :] - e_r[:, None]) < max_dE
+            sim &= orig_b[None, :] < orig_r[:, None]
+            dead_c |= jnp.any(sim & keep_b[None, :], axis=1)
+        return lax.dynamic_update_slice(dead, dead_c, (r0,))
 
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < b)
+    return lax.fori_loop(0, n_slab, chunk_body, dead)
 
-    def body(state):
-        keep_s, _, it = state
-        new = valid & ~dead_from(keep_s)
-        return new, jnp.any(new != keep_s), it + 1
 
-    keep_s, _, _ = lax.while_loop(
-        cond, body, (valid, True, jnp.int32(0))
+# per-slab work budget (band elements compared): sized so one slab program
+# runs a few seconds at most — the TPU tunnel on this box kills any single
+# device program past roughly a minute, so the Jacobi fixpoint is driven
+# from the host in bounded slab programs instead of one giant while_loop
+_BAND_SLAB_BUDGET = 1 << 32
+
+
+def _prune_moi_grid_device(
+    lm, energies, rel_tol, max_dE, w: int, r_chunk: int, has_energies: bool,
+) -> jnp.ndarray:
+    """Exact greedy keep-first MOI prune via BANDED sweeps over the sorted
+    cell-id order — the gather-free TPU form of spatial hashing.
+
+    Candidates come from the 27-cell neighborhood of the log-moment grid
+    (O(B * occupancy) pair tests instead of O(B^2)); the greedy fixpoint
+    runs host-driven Jacobi sweeps over the candidate graph. Keep lists are
+    identical to the dense engines and the numpy oracle — same similarity
+    predicate, same earlier-index-wins order, unique fixpoint (the
+    dependency graph is acyclic in the original index).
+
+    The TPU-critical details: (1) after sorting rows by packed cell id,
+    the searchsorted start of each row's candidate run is MONOTONE in the
+    row index (sorted queries into a sorted array), so the candidates of
+    r_chunk consecutive rows all live in ONE contiguous band of static
+    width w (= measured boundary spread + max run, from _moi_grid_stats);
+    each sweep is then per-chunk dynamic_slice + dense [R, W] tile
+    compares — no gathers, which do not vectorize on the TPU VPU and made
+    a gathered formulation 50x slower than the dense engine at 100k.
+    (2) each sweep is split into bounded slab programs driven from the
+    host, so no single device program exceeds the tunnel's execution
+    limit at 1e7 rows. Band transients are [r_chunk, w]-sized, so huge
+    ensembles never allocate coordinate-scale buffers."""
+    b = lm.shape[0]
+    (c, cid_s, lm_s, e_s, orig_s, order, valid, deltas, band_starts) = (
+        _banded_setup(lm, energies, rel_tol, w, r_chunk)
     )
+    bp = cid_s.shape[0]
+    n_chunks = bp // r_chunk
+    n_slab = min(max(_BAND_SLAB_BUDGET // (27 * w * r_chunk), 1), n_chunks)
+    mde = jnp.asarray(max_dE, lm.dtype)
+
+    keep_s = valid
+    for _ in range(b):  # Jacobi fixpoint: converges in dependency depth
+        dead = jnp.zeros(bp, dtype=bool)
+        for c0 in range(0, n_chunks, n_slab):
+            dead = _banded_sweep_slab(
+                dead, keep_s, c, cid_s, lm_s, e_s, orig_s, deltas,
+                band_starts, mde,
+                # clamp: the final slab overlaps (idempotent)
+                min(c0, n_chunks - n_slab),
+                w, r_chunk, n_slab, has_energies,
+            )
+        new = valid & ~dead
+        if not bool(jnp.any(new != keep_s)):
+            break
+        keep_s = new
     return jnp.zeros(b, dtype=bool).at[order].set(keep_s[:b])
 
 
-# grid engine limits: fall back to the dense engines when a single cell
-# holds this many structures (degenerate near-identical ensembles) or the
-# packed cell-id range would overflow the int32 packing + sentinel headroom
-_GRID_MAX_SLOTS = 4096
-# The grid engine's Jacobi sweeps are gather-bound: 27 offsets x ~6 gathered
-# tables per sweep. On TPU, gathers do not vectorize onto the VPU, so at
-# 100k it measured 9.7 s where the dense blockwise engine (pure tiled
-# compares) does 0.17 s, and at 1M the program killed the TPU worker. The
-# dense engines are proven to 1M (2.1 s); the grid engine only wins where
-# O(B^2) is truly unaffordable, so it is gated to B > 2.5M until the
-# banded (gather-free) sweep lands. Keep lists are identical either way.
+# banded engine limits: rows per chunk (the static [R, W] tile height), and
+# the band-width ceiling past which the ensemble is so cell-degenerate that
+# the dense engines are the better (and memory-safer) choice
+_BAND_R = 512
+_BAND_MAX_W = 16384
+# engine crossover: below this, the dense blockwise engines win outright
+# (measured on a v5e chip; a gathered formulation of the grid engine was
+# 50x slower than dense at 100k and killed the TPU worker at 1M — the
+# banded sweep exists precisely because TPU gathers do not vectorize)
 _GRID_MIN_B = 2_500_000
-# candidate-gather transient budget: row_chunk * m_slots elements per buffer
-# (the [row_chunk, m_slots, 3] feature gather is the largest, ~400 MB at 2^25)
-_GRID_GATHER_BUDGET = 1 << 25
 
 
 def prune_by_moi(
@@ -739,19 +788,16 @@ def prune_by_moi(
     lm = log_moments_chunked(coords, masses)
 
     if b >= _GRID_MIN_B:
-        # grid engine: O(B * cell-occupancy) candidate tests instead of
-        # O(B^2); exact (same keep lists). Sized by the measured max
-        # same-cell run; degenerate ensembles fall back to the dense path.
-        max_run, prod = _moi_grid_stats(lm, rel)
-        max_run = int(max_run)
-        if max_run <= _GRID_MAX_SLOTS and float(prod) < 2**29:
-            m_slots = max(8, 1 << (max_run - 1).bit_length())
-            row_chunk = min(
-                max(4096, _GRID_GATHER_BUDGET // m_slots),
-                1 << (b - 1).bit_length(),
-            )
+        # banded grid engine: O(B * band-width) dense tile tests instead of
+        # O(B^2); exact (same keep lists). The band is sized by the measured
+        # candidate spread; degenerate ensembles (everything in a few cells)
+        # fall back to the dense path.
+        max_run, prod, spread = _moi_grid_stats(lm, rel, r_chunk=_BAND_R)
+        w_need = max(int(spread) + int(max_run), 1)
+        if w_need <= _BAND_MAX_W and float(prod) < 2**29:
+            w = max(_BAND_R, 1 << (w_need - 1).bit_length())
             keep = _prune_moi_grid_device(
-                lm, e, rel, mde, m_slots, has_energies, row_chunk
+                lm, e, rel, mde, w, _BAND_R, has_energies
             )
             return np.asarray(keep)
 

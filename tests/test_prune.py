@@ -144,8 +144,9 @@ def test_prune_by_rmsd_with_atom_mask(rng):
     assert unmasked.sum() != want.sum() or not np.array_equal(unmasked, want)
 
 
-def _grid_keep(ens, atomnos, energies=None, max_dE=1.0, rel_tol=0.01, row_chunk=0):
-    """Drive the grid MOI engine directly (the wrapper gates it on size)."""
+def _grid_keep(ens, atomnos, energies=None, max_dE=1.0, rel_tol=0.01, r_chunk=8):
+    """Drive the banded grid MOI engine directly (the wrapper gates it on
+    size); small r_chunk so tiny test ensembles span several chunks."""
     from firecode_tpu.ops.inertia import log_moments_chunked
     from firecode_tpu.prune.cascade import (
         _moi_grid_stats,
@@ -161,12 +162,13 @@ def _grid_keep(ens, atomnos, energies=None, max_dE=1.0, rel_tol=0.01, row_chunk=
     )
     rel = jnp.asarray(rel_tol, coords.dtype)
     lm = log_moments_chunked(coords, masses)
-    max_run, prod = _moi_grid_stats(lm, rel)
-    m_slots = max(8, 1 << (int(max_run) - 1).bit_length())
+    max_run, _, spread = _moi_grid_stats(lm, rel, r_chunk=r_chunk)
+    w_need = max(int(spread) + int(max_run), 1)
+    w = max(8, 1 << (w_need - 1).bit_length())
     return np.asarray(
         _prune_moi_grid_device(
             lm, e, rel, jnp.asarray(max_dE, coords.dtype),
-            m_slots, has_e, row_chunk,
+            w, r_chunk, has_e,
         )
     )
 
@@ -181,16 +183,16 @@ def test_moi_grid_engine_matches_oracle(rng):
 
 
 def test_moi_grid_engine_row_chunked(rng):
-    """Row-chunked candidate buffers (the 1e7-scale memory path) must give
-    the same keep lists as the un-chunked engine, including when the
-    ensemble size is not a multiple of the chunk (sentinel-padded lanes)."""
+    """Chunked banded sweeps (the 1e7-scale memory path) must give the same
+    keep lists at every chunk size, including when the ensemble size is not
+    a multiple of the chunk (sentinel-padded lanes)."""
     ens = _ensemble_with_duplicates(rng, n_groups=7, group_size=5, scale=0.01)
     assert len(ens) == 35
     want = np_prune_by_moi(ens, np.full(ens.shape[1], 6))
     atomnos = np.full(ens.shape[1], 6)
     for chunk in (8, 16, 35, 64):
-        got = _grid_keep(ens, atomnos, row_chunk=chunk)
-        np.testing.assert_array_equal(got, want, err_msg=f"row_chunk={chunk}")
+        got = _grid_keep(ens, atomnos, r_chunk=chunk)
+        np.testing.assert_array_equal(got, want, err_msg=f"r_chunk={chunk}")
 
 
 def test_log_moments_chunked_matches_unchunked(rng):
