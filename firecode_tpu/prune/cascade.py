@@ -795,7 +795,10 @@ def prune_by_moi(
         max_run, prod, spread = _moi_grid_stats(lm, rel, r_chunk=_BAND_R)
         w_need = max(int(spread) + int(max_run), 1)
         if w_need <= _BAND_MAX_W and float(prod) < 2**29:
-            w = max(_BAND_R, 1 << (w_need - 1).bit_length())
+            # sweep work is linear in W: round up to the 128-lane VPU
+            # width, not to a power of two (4096 vs the 2560 needed at
+            # the 10M bench point is 1.6x wasted compares)
+            w = max(_BAND_R, -(-w_need // 128) * 128)
             keep = _prune_moi_grid_device(
                 lm, e, rel, mde, w, _BAND_R, has_energies
             )

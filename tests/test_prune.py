@@ -164,7 +164,7 @@ def _grid_keep(ens, atomnos, energies=None, max_dE=1.0, rel_tol=0.01, r_chunk=8)
     lm = log_moments_chunked(coords, masses)
     max_run, _, spread = _moi_grid_stats(lm, rel, r_chunk=r_chunk)
     w_need = max(int(spread) + int(max_run), 1)
-    w = max(8, 1 << (w_need - 1).bit_length())
+    w = max(8, -(-w_need // 8) * 8)
     return np.asarray(
         _prune_moi_grid_device(
             lm, e, rel, jnp.asarray(max_dE, coords.dtype),
