@@ -262,7 +262,6 @@ def compute_report() -> dict:
     from firecode_tpu.calculators.solvation import load_solv_params
 
     hyd = hydration_energies(load_solv_params())
-    report["hydration"] = {}
     for name, e in hyd.items():
         tgt, tol = fx.HYDRATION_TARGETS[name]
         key = f"dg_hyd_{name}"
