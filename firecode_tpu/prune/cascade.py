@@ -671,67 +671,146 @@ def _banded_sweep_slab(
 
 # per-slab work budget (band elements compared): sized so one slab program
 # runs a few seconds at most — the TPU tunnel on this box kills any single
-# device program past roughly a minute, so the Jacobi fixpoint is driven
+# device program past roughly a minute, so each banded pass is driven
 # from the host in bounded slab programs instead of one giant while_loop
 _BAND_SLAB_BUDGET = 1 << 32
+# undecided-subset size at which peeling hands off to the dense full-column
+# engine (measured 0.12-0.2 s at this size on a v5e chip)
+_PEEL_DENSE_MAX = 131072
+# hard cap on peel levels: a pathological similarity chain shrinks the
+# undecided set by O(1) per level; past this the dense engine finishes
+_PEEL_MAX_LEVELS = 64
 
 
 def _prune_moi_grid_device(
     lm, energies, rel_tol, max_dE, w: int, r_chunk: int, has_energies: bool,
 ) -> jnp.ndarray:
-    """Exact greedy keep-first MOI prune via BANDED sweeps over the sorted
+    """Exact greedy keep-first MOI prune via BANDED passes over the sorted
     cell-id order — the gather-free TPU form of spatial hashing.
 
     Candidates come from the 27-cell neighborhood of the log-moment grid
-    (O(B * occupancy) pair tests instead of O(B^2)); the greedy fixpoint
-    runs host-driven Jacobi sweeps over the candidate graph. Keep lists are
-    identical to the dense engines and the numpy oracle — same similarity
-    predicate, same earlier-index-wins order, unique fixpoint (the
-    dependency graph is acyclic in the original index).
+    (O(B * occupancy) pair tests instead of O(B^2)); the greedy fixpoint is
+    resolved by monotone PEELING instead of plain Jacobi iteration (which
+    oscillates between upper/lower keep bounds and took 16 full sweeps at
+    the 10M bench point). Each level runs exactly two banded passes over
+    the current undecided subset S:
+
+      pass 1: has_earlier[i] = any earlier candidate in S
+              -> rows without one are DEFINITE keepers (nothing in S can
+                 kill them; everything outside S is already dead or has
+                 had its kills applied)
+      pass 2: dead[i] = any earlier definite keeper similar to i
+              -> DEFINITE dead
+
+    The remaining undecided rows are compacted (ascending original index,
+    preserving greedy order) and the next level recurses on the subset —
+    level sizes shrink geometrically in practice (10M -> 2.4M -> ~0.6M ->
+    dense) — until the dense full-column engine finishes the job. Keep
+    lists are identical to the dense engines and the numpy oracle: same
+    similarity predicate, same earlier-index-wins order, and the reduction
+    argument above is exact (a keeper's kills are final; a dead row kills
+    nothing; undecided rows' fates depend only on earlier undecided rows).
 
     The TPU-critical details: (1) after sorting rows by packed cell id,
     the searchsorted start of each row's candidate run is MONOTONE in the
     row index (sorted queries into a sorted array), so the candidates of
     r_chunk consecutive rows all live in ONE contiguous band of static
     width w (= measured boundary spread + max run, from _moi_grid_stats);
-    each sweep is then per-chunk dynamic_slice + dense [R, W] tile
+    each pass is then per-chunk dynamic_slice + dense [R, W] tile
     compares — no gathers, which do not vectorize on the TPU VPU and made
     a gathered formulation 50x slower than the dense engine at 100k.
-    (2) each sweep is split into bounded slab programs driven from the
+    (2) each pass is split into bounded slab programs driven from the
     host, so no single device program exceeds the tunnel's execution
     limit at 1e7 rows. Band transients are [r_chunk, w]-sized, so huge
     ensembles never allocate coordinate-scale buffers."""
     b = lm.shape[0]
-    (c, cid_s, lm_s, e_s, orig_s, order, valid, deltas, band_starts) = (
-        _banded_setup(lm, energies, rel_tol, w, r_chunk)
-    )
-    bp = cid_s.shape[0]
-    n_chunks = bp // r_chunk
-    n_slab = min(max(_BAND_SLAB_BUDGET // (27 * w * r_chunk), 1), n_chunks)
-    mde = jnp.asarray(max_dE, lm.dtype)
+    dtype = lm.dtype
+    keep_global = np.zeros(b, dtype=bool)
+    orig_idx = np.arange(b, dtype=np.int64)  # subset position -> original row
+    lm_cur = lm
+    e_cur = energies
+    w_cur = int(w)
+    mde = jnp.asarray(max_dE, dtype)
 
-    keep_s = valid
-    for _ in range(b):  # Jacobi fixpoint: converges in dependency depth
-        dead = jnp.zeros(bp, dtype=bool)
-        for c0 in range(0, n_chunks, n_slab):
-            dead = _banded_sweep_slab(
-                dead, keep_s, c, cid_s, lm_s, e_s, orig_s, deltas,
-                band_starts, mde,
-                # clamp: the final slab overlaps (idempotent)
-                min(c0, n_chunks - n_slab),
-                w, r_chunk, n_slab, has_energies,
-            )
-        new = valid & ~dead
-        if not bool(jnp.any(new != keep_s)):
+    for level in range(_PEEL_MAX_LEVELS):
+        u = int(lm_cur.shape[0])
+        if u == 0:
             break
-        keep_s = new
-    return jnp.zeros(b, dtype=bool).at[order].set(keep_s[:b])
+        if (
+            u <= _PEEL_DENSE_MAX
+            or w_cur > _BAND_MAX_W
+            or level == _PEEL_MAX_LEVELS - 1
+        ):
+            # hand the remainder to the dense engine (array order == original
+            # greedy order: compaction kept ascending original indices)
+            if u == 1:
+                keep_global[orig_idx[0]] = True
+            else:
+                block = min(1024, _pow2_at_most(u))
+                keep_sub = _prune_moi_device(
+                    lm_cur, e_cur, rel_tol, mde, block, has_energies,
+                    full_column=True,
+                )
+                keep_global[orig_idx[np.asarray(keep_sub)]] = True
+            break
+
+        (c, cid_s, lm_s, e_s, orig_s, order, valid, deltas, band_starts) = (
+            _banded_setup(lm_cur, e_cur, rel_tol, w_cur, r_chunk)
+        )
+        bp = cid_s.shape[0]
+        n_chunks = bp // r_chunk
+        n_slab = min(
+            max(_BAND_SLAB_BUDGET // (27 * w_cur * r_chunk), 1), n_chunks
+        )
+
+        def run_pass(keep_s):
+            dead = jnp.zeros(bp, dtype=bool)
+            for c0 in range(0, n_chunks, n_slab):
+                dead = _banded_sweep_slab(
+                    dead, keep_s, c, cid_s, lm_s, e_s, orig_s, deltas,
+                    band_starts, mde,
+                    # clamp: the final slab overlaps (idempotent)
+                    min(c0, n_chunks - n_slab),
+                    w_cur, r_chunk, n_slab, has_energies,
+                )
+            return dead
+
+        has_earlier = run_pass(valid)
+        newkeep_s = valid & ~has_earlier  # definite keepers
+        dead_s = run_pass(newkeep_s)  # definite dead (killed by a keeper)
+        undec_s = valid & ~newkeep_s & ~dead_s
+
+        orig_s_np = np.asarray(orig_s)
+        keep_global[orig_idx[orig_s_np[np.asarray(newkeep_s)]]] = True
+        undec_pos = np.sort(orig_s_np[np.asarray(undec_s)])
+        orig_idx = orig_idx[undec_pos]
+        sel = jnp.asarray(undec_pos)
+        lm_cur = jnp.take(lm_cur, sel, axis=0)
+        e_cur = jnp.take(e_cur, sel, axis=0)
+
+        if len(undec_pos) > _PEEL_DENSE_MAX:
+            # re-measure the band for the compacted subset (its spread and
+            # runs shrink with it); a degenerate subset falls to dense
+            max_run, prod, spread = _moi_grid_stats(
+                lm_cur, rel_tol, r_chunk=r_chunk
+            )
+            w_need = max(int(spread) + int(max_run), 1)
+            lane = max(r_chunk, 128)
+            w_cur = max(r_chunk, -(-w_need // lane) * lane)
+            if float(prod) >= 2**29:
+                w_cur = _BAND_MAX_W + 1  # force the dense fallback
+
+    return jnp.asarray(keep_global)
 
 
 # banded engine limits: rows per chunk (the static [R, W] tile height), and
 # the band-width ceiling past which the ensemble is so cell-degenerate that
-# the dense engines are the better (and memory-safer) choice
-_BAND_R = 512
+# the dense engines are the better (and memory-safer) choice.
+# R=256 minimizes pass cost (work per row is proportional to the band width
+# w = chunk spread + max run, and spread grows with R): measured 10M steady
+# state 19.3 s at R=256 vs 24.1 s at R=512 vs 30.6 s at R=128 (tile
+# overhead dominates below 256)
+_BAND_R = 256
 _BAND_MAX_W = 16384
 # engine crossover: below this, the dense blockwise engines win outright
 # (measured on a v5e chip; a gathered formulation of the grid engine was
