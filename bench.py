@@ -258,10 +258,12 @@ def bench_gfnff_opt() -> None:
         calc = GFNFF(atomnos, coords, eeq=eeq)
 
         def run(x):
-            # fixed step budget (fmax 0 never converges a lane early), so
-            # the measurement is exactly batch * n_steps force evaluations
+            # fixed step budget (fmax 0 never converges a lane early) with the
+            # straggler Newton polish off, so the measurement is exactly
+            # batch * n_steps force evaluations
             res = optimize_batch(
-                calc, jnp.asarray(x), fmax=0.0, max_steps=n_steps, restarts=1
+                calc, jnp.asarray(x), fmax=0.0, max_steps=n_steps, restarts=1,
+                polish=False,
             )
             res.coords.block_until_ready()
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from firecode_tpu.calculators.gfnff.params import EV_TO_KCAL
 
@@ -74,21 +75,68 @@ def _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge):
     return a, chi_eff
 
 
+# fixed CG iteration count for the EEQ solve: the Jacobi-preconditioned EEQ
+# matrix is superbly conditioned (measured cond ~14 on hexadecane; the erf
+# damping + hardness diagonal keep it so for any geometry the 0.3 A floor
+# admits), so 10 iterations reach 1e-7 and 24 reach f64 machine precision.
+# A static count keeps the loop shape-stable under vmap/jit.
+_EEQ_CG_ITERS = 24
+
+
+def _eeq_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve SPD a @ x = b (b: [N, K]) by Jacobi-preconditioned CG under
+    lax.custom_linear_solve.
+
+    Versus the previous Cholesky: every CG step is a batched [N, N] @ [N, K]
+    matmul — MXU work that vmaps into one big batched GEMM per iteration —
+    where XLA's Cholesky lowers to a serial panel loop that starved the MXU
+    (measured 8.4x gap between variational and frozen-charge GFN-FF
+    optimization throughput, mostly this solve). custom_linear_solve gives
+    the exact implicit derivative rules: the backward pass is one more CG
+    solve with the same matrix (symmetric), never a differentiated
+    factorization, and JVPs compose so jax.hessian stays exact."""
+    dinv = (1.0 / jnp.diagonal(a))[:, None]
+    eps = jnp.asarray(1e-30, a.dtype)
+
+    def matvec(x):
+        return a @ x
+
+    def solve(_mv, rhs):
+        x0 = dinv * rhs  # diagonal guess: right scale, costs one iteration
+        r0 = rhs - a @ x0
+        z0 = dinv * r0
+        rz0 = jnp.sum(r0 * z0, axis=0)
+
+        def body(_i, st):
+            x, r, p_, rz = st
+            ap = a @ p_
+            al = rz / (jnp.sum(p_ * ap, axis=0) + eps)
+            x = x + al * p_
+            r = r - al * ap
+            z = dinv * r
+            rz_new = jnp.sum(r * z, axis=0)
+            beta = rz_new / (rz + eps)
+            return x, r, z + beta * p_, rz_new
+
+        x, _, _, _ = lax.fori_loop(0, _EEQ_CG_ITERS, body, (x0, r0, z0, rz0))
+        return x
+
+    return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
+
+
 def eeq_energy_and_charges(coords, chi, eta, alpha, cnf, rcov, charge):
     """Variational EEQ electrostatic energy (kcal/mol) + charges [N].
 
     The total-charge constraint is eliminated by the Schur complement
     instead of solving the bordered (N+1) KKT system: A is SPD (erf-damped
-    Coulomb kernel + positive hardness diagonal), so one Cholesky
-    factorization and two triangular solves give
+    Coulomb kernel + positive hardness diagonal), so one SPD solve with two
+    right-hand sides gives
         q = A^-1(-chi) + lam A^-1 1,   lam = (Q + 1^T A^-1 chi)/(1^T A^-1 1)
     — ~2x cheaper than LU on the bordered (and indefinite) matrix, and
-    exactly the same minimizer."""
+    exactly the same minimizer. The solve itself is MXU-friendly CG (see
+    _eeq_solve)."""
     a, chi_eff = _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge)
-    cho = jax.scipy.linalg.cho_factor(a)
-    s = jax.scipy.linalg.cho_solve(
-        cho, jnp.stack([-chi_eff, jnp.ones_like(chi_eff)], axis=-1)
-    )
+    s = _eeq_solve(a, jnp.stack([-chi_eff, jnp.ones_like(chi_eff)], axis=-1))
     s1, s2 = s[:, 0], s[:, 1]
     lam = (charge - jnp.sum(s1)) / jnp.sum(s2)
     q = s1 + lam * s2

@@ -100,6 +100,8 @@ def qeq_charges(
     terms s.t. sum(q) = Q. Off-diagonal interaction uses the Ohno-damped
     kernel so it stays finite at bonding distances.
     """
+    from firecode_tpu.calculators.gfnff.energy import _eeq_solve
+
     n = coords.shape[0]
     diff = coords[:, None, :] - coords[None, :, :]
     r2 = jnp.sum(diff * diff, axis=-1)
@@ -107,11 +109,14 @@ def qeq_charges(
     gamma_len = COULOMB / (0.5 * (eta[:, None] + eta[None, :]) * EV_TO_KCAL)
     j_off = COULOMB / jnp.sqrt(r2 + gamma_len**2)
     a = j_off * (1.0 - jnp.eye(n)) + jnp.diag(eta * EV_TO_KCAL)
-    ones = jnp.ones((n, 1), dtype=coords.dtype)
-    kkt = jnp.block([[a, ones], [ones.T, jnp.zeros((1, 1), coords.dtype)]])
-    rhs = jnp.concatenate([-chi * EV_TO_KCAL, jnp.array([total_charge], coords.dtype)])
-    sol = jnp.linalg.solve(kkt, rhs)
-    return sol[:n]
+    # A is SPD (Ohno-damped Coulomb + hardness diagonal): eliminate the
+    # total-charge constraint by the Schur complement and solve the two
+    # right-hand sides with the same MXU-friendly CG the GFN-FF EEQ uses —
+    # the bordered KKT matrix is indefinite and forced a dense LU before
+    chi_k = chi * EV_TO_KCAL
+    s = _eeq_solve(a, jnp.stack([-chi_k, jnp.ones_like(chi_k)], axis=-1))
+    lam = (total_charge - jnp.sum(s[:, 0])) / jnp.sum(s[:, 1])
+    return s[:, 0] + lam * s[:, 1]
 
 
 def born_radii_hct(coords: jnp.ndarray, rho: jnp.ndarray, hct: float = 0.8) -> jnp.ndarray:

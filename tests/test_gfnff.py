@@ -104,6 +104,58 @@ def test_dispatcher_surface():
     assert float(solv.energy(jnp.asarray(x))) != e
 
 
+def test_eeq_cg_solve_matches_dense_and_differentiates(ethanol_calc):
+    """The MXU-friendly CG EEQ solve (lax.custom_linear_solve) is a numeric
+    drop-in for a dense solve, and the implicit derivative rules are exact
+    through second order: charges, energy gradient, and one Hessian row all
+    match the dense-solve path / central finite differences."""
+    from firecode_tpu.calculators.gfnff.energy import (
+        _eeq_solve,
+        _eeq_system,
+        eeq_energy_and_charges,
+    )
+
+    z, x, calc = ethanol_calc
+    top = calc.topology
+    eeq_args = (top.chi, top.eta, top.eeq_alpha, top.cnf, top.rcov, top.charge)
+    c = jnp.asarray(x)
+
+    # solver level: CG == dense solve to near machine precision (f64)
+    a, chi_eff = _eeq_system(c, *eeq_args)
+    b = jnp.stack([-chi_eff, jnp.ones_like(chi_eff)], axis=-1)
+    x_cg = np.asarray(_eeq_solve(a, b))
+    x_dense = np.asarray(jnp.linalg.solve(a, b))
+    assert np.abs(x_cg - x_dense).max() < 1e-10 * np.abs(x_dense).max()
+
+    # first derivative through custom_linear_solve vs central differences
+    def e_es(cc):
+        return eeq_energy_and_charges(cc, *eeq_args)[0]
+
+    g = np.asarray(jax.grad(e_es)(c))
+    h = 1e-5
+    rng = np.random.default_rng(2)
+    for _ in range(4):
+        i, k = rng.integers(0, len(z)), rng.integers(0, 3)
+        xp, xm = x.copy(), x.copy()
+        xp[i, k] += h
+        xm[i, k] -= h
+        fd = (float(e_es(jnp.asarray(xp))) - float(e_es(jnp.asarray(xm)))) / (2 * h)
+        assert abs(fd - g[i, k]) < 1e-6 * max(1.0, abs(fd))
+
+    # second derivative: JVP-of-grad (one Hessian row) vs FD of the gradient
+    flat = c.reshape(-1)
+    tang = jnp.zeros_like(flat).at[4].set(1.0)
+
+    def gflat(v):
+        return jax.grad(e_es)(v.reshape(c.shape)).reshape(-1)
+
+    hrow = np.asarray(jax.jvp(gflat, (flat,), (tang,))[1])
+    fp = np.asarray(gflat(flat + h * tang))
+    fm = np.asarray(gflat(flat - h * tang))
+    hrow_fd = (fp - fm) / (2 * h)
+    assert np.abs(hrow - hrow_fd).max() < 1e-5 * max(1.0, np.abs(hrow_fd).max())
+
+
 def test_pi_bond_perception():
     from firecode_tpu.calculators.gfnff import build_gfnff_topology
 

@@ -30,6 +30,29 @@ def test_qeq_total_charge_respected():
     assert abs(q.sum() + 1.0) < 1e-8
 
 
+def test_qeq_schur_cg_matches_dense_kkt():
+    """The Schur-complement CG path reproduces the bordered-KKT dense solve
+    it replaced (same minimizer, constraint eliminated analytically)."""
+    chi = jnp.asarray(CHI[WATER_Z])
+    eta = jnp.asarray(ETA[WATER_Z])
+    from firecode_tpu.calculators.solvation import COULOMB, EV_TO_KCAL
+
+    c = jnp.asarray(WATER)
+    n = c.shape[0]
+    diff = c[:, None, :] - c[None, :, :]
+    r2 = jnp.sum(diff * diff, axis=-1)
+    gamma_len = COULOMB / (0.5 * (eta[:, None] + eta[None, :]) * EV_TO_KCAL)
+    j_off = COULOMB / jnp.sqrt(r2 + gamma_len**2)
+    a = j_off * (1.0 - jnp.eye(n)) + jnp.diag(eta * EV_TO_KCAL)
+    for total in (0.0, -1.0):
+        ones = jnp.ones((n, 1))
+        kkt = jnp.block([[a, ones], [ones.T, jnp.zeros((1, 1))]])
+        rhs = jnp.concatenate([-chi * EV_TO_KCAL, jnp.array([total])])
+        q_dense = np.asarray(jnp.linalg.solve(kkt, rhs))[:n]
+        q_cg = np.asarray(qeq_charges(c, chi, eta, total))
+        assert np.abs(q_cg - q_dense).max() < 1e-10
+
+
 def test_solvation_energy_negative_for_water_in_water():
     fn = solvation_energy_fn(WATER_Z, "water")
     e = float(fn(jnp.asarray(WATER)))
