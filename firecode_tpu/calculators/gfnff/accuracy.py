@@ -157,6 +157,21 @@ def compute_report() -> dict:
         float(ring_calc.energy(jnp.asarray(xtb_ring)))
         - float(ring_calc.energy(jnp.asarray(xch))))
 
+    # chair -> chair ring-flip barrier through the half-chair TS: the
+    # full TS stack end-to-end — CI-NEB chair -> twist-boat, then EF
+    # saddle refinement on exact autodiff Hessians (exp dH-ddagger 10.8,
+    # NMR line-shape; the saddle carries exactly one imaginary mode,
+    # ~ -230 cm-1, matching DFT half-chair values — asserted in
+    # tests/test_accuracy.py)
+    from firecode_tpu.opt.neb import run_neb
+    from firecode_tpu.opt.saddle import saddle_refine
+
+    neb_ring = run_neb(ring_calc, xch, xtb_ring, n_images=9)
+    sad_ring = saddle_refine(ring_calc, neb_ring.ts_coords, fmax=5e-4,
+                             max_steps=400)
+    rec("cyclohexane_ringflip_barrier",
+        sad_ring.energy - float(ring_calc.energy(jnp.asarray(xch))))
+
     # heteroaromatics: pyridine (aromatic N), furan / thiophene
     # (conjugated divalent O/S perceived SP2; bond alternation)
     xpyr = relax(fx.pyridine())

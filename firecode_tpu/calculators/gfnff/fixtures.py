@@ -579,6 +579,12 @@ TARGETS: dict[str, tuple[float, float]] = {
     "cyclohexane_cc": (1.536, 0.03),
     "cyclohexane_ccc": (111.4, 2.0),
     "cyclohexane_twist_boat": (5.9, 2.0),
+    # chair -> chair ring-flip barrier through the half-chair TS (NMR
+    # line-shape dH-ddagger 10.8 kcal/mol; DFT electronic barriers
+    # 11-12): the full TS stack end-to-end — CI-NEB chair->twist-boat,
+    # EF saddle refinement on exact autodiff Hessians, exactly one
+    # imaginary mode (DFT half-chair ~ -230 cm-1)
+    "cyclohexane_ringflip_barrier": (10.8, 3.0),
     # heteroaromatics (microwave): aromatic C-N via geometric pi orders
     # with the divalent-sp2-N angle reference; conjugated divalent O/S
     # (SP2 second pass) carries pi density on the het-C bonds, and the

@@ -236,6 +236,53 @@ def test_cyclohexane_ring_and_twist_boat():
     assert abs(gap - tgt) < tol
 
 
+def test_cyclohexane_ringflip_ts_stack():
+    """Flagship TS-stack anchor: CI-NEB chair->twist-boat + EF saddle
+    refinement land the half-chair ring-flip TS at the experimental
+    barrier (dH-ddagger 10.8 kcal/mol, NMR line-shape) with exactly one
+    imaginary mode (DFT half-chair ~ -230 cm-1). Exercises NEB (staged
+    schedule, climbing image), eigenvector-following saddle refinement,
+    and the exact-autodiff-Hessian frequency stack end-to-end against a
+    textbook experimental number."""
+    from firecode_tpu.opt.fire import optimize_batch
+    from firecode_tpu.opt.hessian import batch_hessian, mass_weighted_frequencies
+    from firecode_tpu.opt.neb import run_neb
+    from firecode_tpu.opt.saddle import saddle_refine
+
+    z, x0 = fx.cyclohexane("chair")
+    calc = GFNFF(z, x0)
+
+    def relax(x):
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=2e-3, max_steps=6000)
+        return np.asarray(res.coords[0]), float(res.energy[0])
+
+    xc, ec = relax(x0)
+    xt, _ = relax(fx.cyclohexane("twist_boat")[1])
+    neb = run_neb(calc, xc, xt, n_images=9)
+    assert neb.converged
+    sad = saddle_refine(calc, neb.ts_coords, fmax=5e-4, max_steps=400)
+    assert sad.converged
+    barrier = sad.energy - ec
+    tgt, tol = _target("cyclohexane_ringflip_barrier")
+    assert abs(barrier - tgt) < tol
+    # exactly one imaginary mode at the refined saddle (first-order TS)
+    h = batch_hessian(calc, jnp.asarray(sad.coords)[None])
+    f_all, _ = mass_weighted_frequencies(np.asarray(h[0]), z)
+    assert int(np.sum(f_all < -30.0)) == 1
+    assert f_all.min() < -120.0  # a real reaction mode, not numerical noise
+    # IRC: displacing along the imaginary mode and relaxing both ways
+    # reaches the chair on one side and the twist-boat family on the other
+    from firecode_tpu.opt.saddle import irc_relax
+
+    fwd, rev = irc_relax(calc, sad.coords, z, fmax=2e-3)
+    e_sides = sorted(
+        float(calc.energy(jnp.asarray(s))) - ec for s in (fwd, rev)
+    )
+    assert abs(e_sides[0]) < 0.5  # chair side
+    tb_tgt, tb_tol = _target("cyclohexane_twist_boat")
+    assert abs(e_sides[1] - tb_tgt) < tb_tol  # twist-boat side
+
+
 def test_harmonic_frequencies_calibrated():
     """Stretch modes against experimental harmonic frequencies: the Morse
     well table is calibrated against 21 literature stretching force
