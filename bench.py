@@ -248,19 +248,18 @@ def bench_gfnff_opt() -> None:
 
     batch = int(os.environ.get("FIRECODE_BENCH_CONFS", "1024"))
     n_steps = 200
-    atomnos, coords = build_alkane(16)  # 50 atoms
     rng = np.random.default_rng(0)
-    ens = (coords[None] + 0.05 * rng.normal(size=(batch, *coords.shape))).astype(
-        np.float32
-    )
 
-    def rate_for(eeq: str) -> tuple[float, float]:
+    def rate_for(atomnos, coords, eeq: str, nb: int) -> tuple[float, float]:
+        ens = (
+            coords[None] + 0.05 * rng.normal(size=(nb, *coords.shape))
+        ).astype(np.float32)
         calc = GFNFF(atomnos, coords, eeq=eeq)
 
         def run(x):
             # fixed step budget (fmax 0 never converges a lane early) with the
             # straggler Newton polish off, so the measurement is exactly
-            # batch * n_steps force evaluations
+            # nb * n_steps force evaluations
             res = optimize_batch(
                 calc, jnp.asarray(x), fmax=0.0, max_steps=n_steps, restarts=1,
                 polish=False,
@@ -271,10 +270,20 @@ def bench_gfnff_opt() -> None:
         t0 = time.perf_counter()
         run(ens + 0.001)
         elapsed = time.perf_counter() - t0
-        return batch * n_steps / elapsed, elapsed
+        return nb * n_steps / elapsed, elapsed
 
-    rate, elapsed = rate_for("variational")
-    rate_topo, _ = rate_for("topo")
+    atomnos, coords = build_alkane(16)  # 50 atoms
+    rate, elapsed = rate_for(atomnos, coords, "variational", batch)
+    rate_topo, _ = rate_for(atomnos, coords, "topo", batch)
+
+    # production-scale lane: catalysis-size molecule (~200 atoms, 256
+    # lanes). Per-step EEQ cost grows ~N^2 but is [N,N]@[N,2] MXU work,
+    # so the big system amortizes far better than linear-in-atoms
+    big_nc = int(os.environ.get("FIRECODE_BENCH_GFNFF_BIG_CARBONS", "66"))
+    z_big, x_big = build_alkane(big_nc)  # 3*nc + 2 atoms (200 at nc=66)
+    rate_big, _ = rate_for(z_big, x_big, "variational", 256)
+    rate_big_topo, _ = rate_for(z_big, x_big, "topo", 256)
+
     print(
         json.dumps(
             {
@@ -286,6 +295,10 @@ def bench_gfnff_opt() -> None:
                 "n_steps": n_steps,
                 "elapsed_s": round(elapsed, 3),
                 "topo_charges_value": round(rate_topo, 0),
+                "big_n_atoms": int(len(z_big)),
+                "big_batch": 256,
+                "big_value": round(rate_big, 0),
+                "big_topo_value": round(rate_big_topo, 0),
             }
         )
     )
