@@ -535,9 +535,11 @@ def _prune_moi_device(
 # grid-bucketed MOI engine (exact, for very large ensembles)
 # --------------------------------------------------------------------------
 
-_GRID_OFFSETS = [
-    (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
-]
+# (dx, dy) neighbor-cell offsets: the dz in {-1, 0, 1} directions need no
+# explicit offsets — packed ids of the three dz-cells are CONSECUTIVE
+# integers, so each (dx, dy) pair's candidates live in ONE contiguous band
+# of the sorted order (9 banded compares instead of 27)
+_GRID_OFFSETS_XY = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
 def _cells_from_lm(lm, rel_tol):
@@ -568,9 +570,11 @@ def _moi_grid_stats(lm, rel_tol, r_chunk: int = 512):
     """(max same-cell-id run length, packed-id range, band spread) — sizes
     the banded kernel's static [R, W] tile and guards the int32 packing.
 
-    The band spread is the largest searchsorted-start gap between a
-    row-chunk's first and last rows over all 27 offsets: candidates of the
-    whole chunk live within spread + max_run contiguous sorted positions."""
+    The band spread is the largest searchsorted gap between a row-chunk's
+    first row at dz=-1 and last row at dz=+1 over the 9 (dx, dy) offsets:
+    candidates of the whole chunk for one (dx, dy) pair live within
+    spread + max_run contiguous sorted positions (the three dz-cells have
+    consecutive packed ids, so they merge into one band)."""
     b = lm.shape[0]
     _, cid, n1, n2, prod = _cells_from_lm(lm, rel_tol)
     cid_s = jnp.sort(cid)
@@ -582,12 +586,12 @@ def _moi_grid_stats(lm, rel_tol, r_chunk: int = 512):
     first = jnp.arange(0, b, r_chunk)
     last = jnp.minimum(first + r_chunk - 1, b - 1)
     deltas = jnp.stack(
-        [(dx * n1 + dy) * n2 + dz for dx, dy, dz in _GRID_OFFSETS]
+        [(dx * n1 + dy) * n2 for dx, dy in _GRID_OFFSETS_XY]
     )
 
     def spread(d):
-        s0 = jnp.searchsorted(cid_s, cid_s[first] + d, side="left")
-        s1 = jnp.searchsorted(cid_s, cid_s[last] + d, side="left")
+        s0 = jnp.searchsorted(cid_s, cid_s[first] + d - 1, side="left")
+        s1 = jnp.searchsorted(cid_s, cid_s[last] + d + 1, side="left")
         return jnp.max(s1 - s0)
 
     return jnp.max(lengths), prod, jnp.max(jax.vmap(spread)(deltas))
@@ -602,7 +606,14 @@ _GRID_PAD_CID = np.int32(1 << 30)
 @partial(jax.jit, static_argnames=("w", "r_chunk"))
 def _banded_setup(lm, energies, rel_tol, w: int, r_chunk: int):
     """Sort by packed cell id, sentinel-pad, and precompute per-(offset,
-    chunk) band starts for the banded MOI engine."""
+    chunk) band starts for the banded MOI engine.
+
+    The sweep needs no cell-id plane: the exact log-moment test ALREADY
+    implies the 27-neighborhood (cell edge = similarity radius c, so
+    max-axis |d log m| < c forces per-axis cell coords to differ by at most
+    1) — the grid only chooses WHERE to look, never what matches. Each
+    (dx, dy) band starts at the dz=-1 cell of the chunk's first row and is
+    wide enough (via _moi_grid_stats) to cover dz=+1 of its last row."""
     b = lm.shape[0]
     bp = -(-max(b, w) // r_chunk) * r_chunk
     c, cid, n1, n2, _ = _cells_from_lm(lm, rel_tol)
@@ -615,15 +626,15 @@ def _banded_setup(lm, energies, rel_tol, w: int, r_chunk: int):
     valid = jnp.arange(bp) < b
 
     deltas = jnp.stack(
-        [(dx * n1 + dy) * n2 + dz for dx, dy, dz in _GRID_OFFSETS]
-    )  # [27] traced (n1/n2 are data-dependent)
+        [(dx * n1 + dy) * n2 for dx, dy in _GRID_OFFSETS_XY]
+    )  # [9] traced (n1/n2 are data-dependent)
     # band start per (offset, chunk) = candidate-run start of the chunk's
-    # FIRST row; rows further into the chunk only ever look forward of it
+    # FIRST row at dz=-1; rows further into the chunk only look forward
     band_starts = jax.vmap(
-        lambda d: jnp.searchsorted(cid_s, cid_s[::r_chunk] + d, side="left")
-    )(deltas)  # [27, C]
+        lambda d: jnp.searchsorted(cid_s, cid_s[::r_chunk] + d - 1, side="left")
+    )(deltas)  # [9, C]
     band_starts = jnp.clip(band_starts, 0, bp - w)
-    return c, cid_s, lm_s, e_s, orig_s, order, valid, deltas, band_starts
+    return c, lm_s, e_s, orig_s, order, valid, band_starts
 
 
 @partial(
@@ -632,31 +643,33 @@ def _banded_setup(lm, energies, rel_tol, w: int, r_chunk: int):
     donate_argnums=(0,),
 )
 def _banded_sweep_slab(
-    dead, keep_s, c, cid_s, lm_s, e_s, orig_s, deltas, band_starts, max_dE,
+    dead, keep_s, c, lm_s, e_s, orig_s, band_starts, max_dE,
     c0, w: int, r_chunk: int, n_slab: int, has_energies: bool,
 ):
     """One bounded slab of a Jacobi sweep: recompute dead[] for the n_slab
     row-chunks starting at chunk c0, against the CURRENT keep_s. Idempotent
-    in (keep_s), so overlapping slabs (the clamped final slab) are safe."""
-    bp = cid_s.shape[0]
+    in (keep_s), so overlapping slabs (the clamped final slab) are safe.
+
+    The per-element test is the EXACT similarity predicate (log-moment
+    max-abs + energy gate + earlier-index) — no cell-id plane: any pair
+    passing it is in the 27-neighborhood by construction, and band
+    elements outside the neighborhood simply fail. Padded band lanes fail
+    the earlier-index test (orig pad sentinel = bp > every real row)."""
 
     def chunk_body(i, dead):
         ci = c0 + i
         r0 = ci * r_chunk
-        cid_r = lax.dynamic_slice_in_dim(cid_s, r0, r_chunk)
         lm_r = lax.dynamic_slice_in_dim(lm_s, r0, r_chunk)
         e_r = lax.dynamic_slice_in_dim(e_s, r0, r_chunk)
         orig_r = lax.dynamic_slice_in_dim(orig_s, r0, r_chunk)
         dead_c = jnp.zeros(r_chunk, dtype=bool)
-        for k in range(27):  # static unroll; buffers reuse across offsets
+        for k in range(9):  # static unroll; buffers reuse across offsets
             b0 = band_starts[k, ci]
-            cid_b = lax.dynamic_slice_in_dim(cid_s, b0, w)
             lm_b = lax.dynamic_slice_in_dim(lm_s, b0, w)
             e_b = lax.dynamic_slice_in_dim(e_s, b0, w)
             orig_b = lax.dynamic_slice_in_dim(orig_s, b0, w)
             keep_b = lax.dynamic_slice_in_dim(keep_s, b0, w)
-            sim = cid_b[None, :] == (cid_r + deltas[k])[:, None]
-            sim &= (
+            sim = (
                 jnp.max(jnp.abs(lm_b[None, :, :] - lm_r[:, None, :]), axis=-1)
                 < c
             )
@@ -719,6 +732,13 @@ def _prune_moi_grid_device(
     each pass is then per-chunk dynamic_slice + dense [R, W] tile
     compares — no gathers, which do not vectorize on the TPU VPU and made
     a gathered formulation 50x slower than the dense engine at 100k.
+    The 27-cell neighborhood needs only NINE bands: the three dz-cells of
+    each (dx, dy) offset have consecutive packed ids (one contiguous
+    band), and the exact log-moment test subsumes the cell-id membership
+    check (cell edge = similarity radius), so the sweep never touches the
+    id plane at all — 3x fewer band elements per pass than the
+    one-band-per-cell formulation it replaced (measured 19.3 -> 8.8 s for
+    the 10M MOI stage on a v5e chip).
     (2) each pass is split into bounded slab programs driven from the
     host, so no single device program exceeds the tunnel's execution
     limit at 1e7 rows. Band transients are [r_chunk, w]-sized, so huge
@@ -754,20 +774,20 @@ def _prune_moi_grid_device(
                 keep_global[orig_idx[np.asarray(keep_sub)]] = True
             break
 
-        (c, cid_s, lm_s, e_s, orig_s, order, valid, deltas, band_starts) = (
+        (c, lm_s, e_s, orig_s, order, valid, band_starts) = (
             _banded_setup(lm_cur, e_cur, rel_tol, w_cur, r_chunk)
         )
-        bp = cid_s.shape[0]
+        bp = lm_s.shape[0]
         n_chunks = bp // r_chunk
         n_slab = min(
-            max(_BAND_SLAB_BUDGET // (27 * w_cur * r_chunk), 1), n_chunks
+            max(_BAND_SLAB_BUDGET // (9 * w_cur * r_chunk), 1), n_chunks
         )
 
         def run_pass(keep_s):
             dead = jnp.zeros(bp, dtype=bool)
             for c0 in range(0, n_chunks, n_slab):
                 dead = _banded_sweep_slab(
-                    dead, keep_s, c, cid_s, lm_s, e_s, orig_s, deltas,
+                    dead, keep_s, c, lm_s, e_s, orig_s,
                     band_starts, mde,
                     # clamp: the final slab overlaps (idempotent)
                     min(c0, n_chunks - n_slab),
