@@ -413,7 +413,7 @@ def main() -> None:
         # donated buffer and the grid MOI engine row-chunks its candidate
         # gathers, so the whole cascade fits one 16 GB chip. dup=100 models
         # heavy embed oversampling. The banded MOI engine drives the Jacobi
-        # fixpoint in host-bounded slab programs (measured: 161.5 s for the
+        # fixpoint in host-bounded slab programs (measured: 9.8 s for the
         # 10M MOI stage on one v5e chip, no giant single program for the
         # tunnel to kill). Set FIRECODE_BENCH_XXL=0 to skip the ~8 min.
         if os.environ.get("FIRECODE_BENCH_XXL", "1") != "0":

@@ -737,8 +737,8 @@ def _prune_moi_grid_device(
     band), and the exact log-moment test subsumes the cell-id membership
     check (cell edge = similarity radius), so the sweep never touches the
     id plane at all — 3x fewer band elements per pass than the
-    one-band-per-cell formulation it replaced (measured 19.3 -> 8.8 s for
-    the 10M MOI stage on a v5e chip).
+    one-band-per-cell formulation it replaced (measured 19.3 -> 9.8 s for
+    the 10M MOI stage on a v5e chip, keep count unchanged).
     (2) each pass is split into bounded slab programs driven from the
     host, so no single device program exceeds the tunnel's execution
     limit at 1e7 rows. Band transients are [r_chunk, w]-sized, so huge
@@ -828,8 +828,9 @@ def _prune_moi_grid_device(
 # the dense engines are the better (and memory-safer) choice.
 # R=256 minimizes pass cost (work per row is proportional to the band width
 # w = chunk spread + max run, and spread grows with R): measured 10M steady
-# state 19.3 s at R=256 vs 24.1 s at R=512 vs 30.6 s at R=128 (tile
-# overhead dominates below 256)
+# state with the 9-band sweep 9.8 s at R=256 vs 10.2 s at R=512 vs 11.1 s
+# at R=128 (tile overhead dominates below 256; same optimum as the
+# 27-band sweep it replaced)
 _BAND_R = 256
 _BAND_MAX_W = 16384
 # engine crossover: below this, the dense blockwise engines win outright

@@ -29,11 +29,21 @@ def main() -> None:
     coords.block_until_ready()
     print(f"generate: {time.perf_counter() - t0:.1f} s", flush=True)
 
-    for label in ("compile", "steady"):
-        t0 = time.perf_counter()
-        keep = prune_by_moi(coords, atomnos)
-        dt = time.perf_counter() - t0
-        print(f"{label}: moi_s={dt:.2f} n_kept={int(keep.sum())}", flush=True)
+    r_values = (
+        [int(v) for v in sys.argv[4].split(",")]
+        if len(sys.argv) > 4
+        else [cascade._BAND_R]
+    )
+    for r in r_values:
+        cascade._BAND_R = r
+        for label in ("compile", "steady"):
+            t0 = time.perf_counter()
+            keep = prune_by_moi(coords, atomnos)
+            dt = time.perf_counter() - t0
+            print(
+                f"R={r} {label}: moi_s={dt:.2f} n_kept={int(keep.sum())}",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
