@@ -221,6 +221,62 @@ def compute_report() -> dict:
         xa_flat[i] = [rnh * np.cos(ang), rnh * np.sin(ang), 0.0]
     rec("nh3_inversion", float(acalc.energy(jnp.asarray(xa_flat))) - e_min)
 
+    # ---- gas-phase ion energetics (pKa-workflow credibility) ----
+    # deprotonation/protonation energies with the net charge plumbed
+    # through the EEQ constraint. One ordering-resolving anchor
+    # (carboxylic acid vs alcohol acidity); the within-class deltas are
+    # recorded as diagnostics — EEQ overpolarization inflates
+    # methyl-substitution effects severalfold (fixtures.ION_DIAGNOSTICS).
+    from firecode_tpu.driver.pka import deprotonate, protonate
+
+    def relax_ze(z, x, charge=0):
+        calc = GFNFF(np.asarray(z), np.asarray(x), charge=charge)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.05,
+                             max_steps=2000)
+        return float(res.energy[0]), np.asarray(res.coords[0])
+
+    def e_dep(zx, h_idx):
+        z, x = zx
+        e0, x0 = relax_ze(z, x, 0)
+        za, xa = deprotonate(np.asarray(z), x0, h_idx)
+        e1, _ = relax_ze(za, xa, -1)
+        return e1 - e0
+
+    def e_prot(zx, heavy_idx):
+        z, x = zx
+        e0, x0 = relax_ze(z, x, 0)
+        zp, xp = protonate(np.asarray(z), x0, heavy_idx)
+        e1, _ = relax_ze(zp, xp, +1)
+        return e0 - e1
+
+    d_formic = e_dep(fx.formic_acid(), 4)
+    d_acetic = e_dep(fx.acetic_acid(), 3)
+    d_meoh = e_dep(fx.methanol(), 2)
+    d_etoh = e_dep(fx.ethanol(), 2)
+    d_h2o = e_dep(fx.water(), 1)
+    p_nh3 = e_prot(fx.ammonia(), 0)
+    p_ma = e_prot(fx.methylamine(), 1)
+    rec("ddep_methanol_minus_formic", d_meoh - d_formic)
+    report["ion_diagnostics"] = {
+        "ddep_water_minus_methanol": {
+            "value": round(d_h2o - d_meoh, 2),
+            "exp": fx.ION_DIAGNOSTICS["ddep_water_minus_methanol"]},
+        "ddep_methanol_minus_ethanol": {
+            "value": round(d_meoh - d_etoh, 2),
+            "exp": fx.ION_DIAGNOSTICS["ddep_methanol_minus_ethanol"]},
+        "ddep_acetic_minus_formic": {
+            "value": round(d_acetic - d_formic, 2),
+            "exp": fx.ION_DIAGNOSTICS["ddep_acetic_minus_formic"]},
+        "dpa_methylamine_minus_ammonia": {
+            "value": round(p_ma - p_nh3, 2),
+            "exp": fx.ION_DIAGNOSTICS["dpa_methylamine_minus_ammonia"]},
+        "acidity_ordering_ok": bool(d_formic < d_meoh < d_h2o),
+        "pa_ordering_ok": bool(p_ma > p_nh3),
+        "note": ("diagnostics, not anchors: EEQ overpolarization inflates "
+                 "methyl-substitution ion stabilization; cross-class "
+                 "orderings hold, quantitative pKa needs CALC=XTB or MLIP"),
+    }
+
     # ---- harmonic frequencies (exact autodiff Hessians) ----
     from firecode_tpu.opt.hessian import (
         batch_hessian,

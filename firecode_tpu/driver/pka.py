@@ -6,6 +6,15 @@ process (H at the index -> acid, deprotonate; otherwise base, protonate along
 the mean-neighbor vector); Delta-G values are stored on the molecule and the
 embedder prints pKa vs the reference compound at termination
 (firecode/embedder.py:2887-2955).
+
+Calculator guidance: pKa is computed RELATIVE to a reference compound, so
+systematic offsets cancel — but only within the same functional-group
+class. At the CALC=GFNFF tier the EEQ net-charge constraint gives correct
+cross-class acidity orderings and amine-basicity orderings, while
+methyl-substitution effects on ions are inflated severalfold (EEQ
+overpolarization; measured in fixtures.ION_DIAGNOSTICS / ACCURACY.json).
+For quantitative pKa use CALC=XTB (external hatch) or an MLIP, like the
+reference does (firecode/pka.py runs on its ase calculators).
 """
 
 from __future__ import annotations

@@ -389,3 +389,45 @@ def test_thioether_geometry():
     xo = np.asarray(res.coords[0])
     tgt, tol = _target("ch3sh_cs")
     assert abs(np.linalg.norm(xo[1] - xo[0]) - tgt) < tol
+
+
+def test_gas_phase_ion_orderings():
+    """Charged species through the EEQ net-charge constraint: the
+    pKa-workflow energetics must get the robust orderings right —
+    carboxylic acid more acidic than alcohol more acidic than water,
+    and methylamine a stronger base than ammonia. Quantitative ion
+    windows are dishonest at the FF tier (EEQ overpolarization, see
+    fixtures.ION_DIAGNOSTICS); the one windowed anchor asserts the
+    acid-vs-alcohol margin stays positive and bounded."""
+    from firecode_tpu.driver.pka import deprotonate, protonate
+    from firecode_tpu.opt.fire import optimize_batch
+
+    def relax_ze(zx, charge=0):
+        z, x = zx
+        calc = GFNFF(np.asarray(z), np.asarray(x), charge=charge)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.05,
+                             max_steps=1500)
+        return float(res.energy[0]), np.asarray(res.coords[0])
+
+    def e_dep(zx, h_idx):
+        e0, x0 = relax_ze(zx)
+        za, xa = deprotonate(np.asarray(zx[0]), x0, h_idx)
+        e1, _ = relax_ze((za, xa), -1)
+        return e1 - e0
+
+    def e_prot(zx, heavy_idx):
+        e0, x0 = relax_ze(zx)
+        zp, xp = protonate(np.asarray(zx[0]), x0, heavy_idx)
+        e1, _ = relax_ze((zp, xp), +1)
+        return e0 - e1
+
+    d_formic = e_dep(fx.formic_acid(), 4)
+    d_meoh = e_dep(fx.methanol(), 2)
+    d_h2o = e_dep(fx.water(), 1)
+    assert d_formic < d_meoh < d_h2o  # acidity ladder, cross-class
+    tgt, tol = _target("ddep_methanol_minus_formic")
+    assert abs((d_meoh - d_formic) - tgt) < tol  # ordering-resolving window
+
+    p_nh3 = e_prot(fx.ammonia(), 0)
+    p_ma = e_prot(fx.methylamine(), 1)
+    assert p_ma > p_nh3  # methyl substitution raises amine proton affinity
