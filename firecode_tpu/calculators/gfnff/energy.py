@@ -75,12 +75,17 @@ def _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge):
     return a, chi_eff
 
 
-# fixed CG iteration count for the EEQ solve: the Jacobi-preconditioned EEQ
+# fixed CG iteration counts for the EEQ solve: the Jacobi-preconditioned EEQ
 # matrix is superbly conditioned (measured cond ~14 on hexadecane; the erf
 # damping + hardness diagonal keep it so for any geometry the 0.3 A floor
 # admits), so 10 iterations reach 1e-7 and 24 reach f64 machine precision.
-# A static count keeps the loop shape-stable under vmap/jit.
-_EEQ_CG_ITERS = 24
+# The count is picked by dtype — f32 (the TPU production path) hits f32
+# machine precision by 10-12 iterations (measured: 8 already matches 24 to
+# display precision on hexadecane distorted by 0.25 A noise), so the f64
+# count would just double the per-step EEQ cost for zero extra accuracy.
+# Static counts keep the loop shape-stable under vmap/jit.
+_EEQ_CG_ITERS = 24  # f64: machine precision
+_EEQ_CG_ITERS_F32 = 12  # f32: machine precision, ~2x cheaper
 
 
 def _eeq_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -118,7 +123,10 @@ def _eeq_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             beta = rz_new / (rz + eps)
             return x, r, z + beta * p_, rz_new
 
-        x, _, _, _ = lax.fori_loop(0, _EEQ_CG_ITERS, body, (x0, r0, z0, rz0))
+        n_iters = (
+            _EEQ_CG_ITERS_F32 if a.dtype == jnp.float32 else _EEQ_CG_ITERS
+        )
+        x, _, _, _ = lax.fori_loop(0, n_iters, body, (x0, r0, z0, rz0))
         return x
 
     return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
