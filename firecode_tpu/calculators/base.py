@@ -23,9 +23,28 @@ import jax.numpy as jnp
 class Calculator:
     """Wraps a pure per-structure energy function e(coords[N, 3]) -> scalar."""
 
+    # Stateful fast path: calculators whose energy contains an iterative
+    # inner solve (e.g. the GFN-FF variational EEQ) set stateful=True and
+    # override init_state / energy_and_forces_state so optimizers and
+    # integrators can warm-start the solve across steps. Contract: the
+    # state is a fixed-shape pytree, and energy_and_forces_state must
+    # return forces equal to energy_and_forces up to the inner-solve
+    # residual (which the warm start keeps at machine precision once the
+    # carry settles).
+    stateful: bool = False
+
     def __init__(self, energy_fn: Callable[[jnp.ndarray], jnp.ndarray], name: str = "calc"):
         self._energy_fn = energy_fn
         self.name = name
+
+    def init_state(self, coords: jnp.ndarray):
+        """Warm-start state for a [..., N, 3] batch (stateless: empty)."""
+        return ()
+
+    def energy_and_forces_state(self, coords: jnp.ndarray, state):
+        """(energy, forces, new_state); default delegates statelessly."""
+        e, f = self.energy_and_forces(coords)
+        return e, f, state
 
     def energy_one(self, coords: jnp.ndarray) -> jnp.ndarray:
         return self._energy_fn(coords)
@@ -48,7 +67,24 @@ class Calculator:
     def with_extra(self, extra_fn: Callable[[jnp.ndarray], jnp.ndarray], name: str | None = None) -> "Calculator":
         """New calculator adding an energy term (constraint penalty, bias...)."""
         base = self._energy_fn
-        return Calculator(lambda c: base(c) + extra_fn(c), name or self.name)
+        new = Calculator(lambda c: base(c) + extra_fn(c), name or self.name)
+        if self.stateful:
+            # the extra term is coordinate-only, so the warm-start state and
+            # its Hellmann-Feynman force contract pass through unchanged
+            parent = self
+            new.stateful = True
+            new.init_state = parent.init_state
+
+            def efs(coords, state):
+                e, f, st = parent.energy_and_forces_state(coords, state)
+                gfn = jax.value_and_grad(extra_fn)
+                for _ in range(coords.ndim - 2):
+                    gfn = jax.vmap(gfn)
+                ee, ge = gfn(coords)
+                return e + ee, f - ge, st
+
+            new.energy_and_forces_state = efs
+        return new
 
 
 class BatchedCalculator(Calculator):

@@ -66,6 +66,52 @@ class GFNFF(Calculator):
             lambda c: gfnff_energy(c, top, p, eeq=eeq),
             name="gfnff" if eeq == "variational" else "gfnff-topo",
         )
+        # warm-start fast path for optimizers/integrators: carry the EEQ
+        # solution pair across steps, refresh with a few detached PCG
+        # iterations, forces exactly Hellmann-Feynman (energy.py:
+        # eeq_energy_charges_warm). Hessian/frequency paths keep using
+        # energy() -> the variational custom_linear_solve.
+        self.stateful = eeq == "variational"
+
+    def _eeq_args(self, dt):
+        top = self.topology
+        return (
+            top.chi.astype(dt), top.eta.astype(dt), top.eeq_alpha.astype(dt),
+            top.cnf.astype(dt), top.rcov.astype(dt), top.charge,
+        )
+
+    def init_state(self, coords):
+        if not self.stateful:
+            return ()
+        import jax
+        import jax.numpy as jnp
+
+        from firecode_tpu.calculators.gfnff.energy import eeq_warm_init
+
+        coords = jnp.asarray(coords)
+        args = self._eeq_args(coords.dtype)
+        fn = lambda c: eeq_warm_init(c, *args)
+        for _ in range(coords.ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(coords)
+
+    def energy_and_forces_state(self, coords, state):
+        if not self.stateful:
+            return super().energy_and_forces_state(coords, state)
+        import jax
+
+        from firecode_tpu.calculators.gfnff.energy import gfnff_energy_warm
+
+        top, p = self.topology, self.params
+
+        def one(c, s):
+            return gfnff_energy_warm(c, top, p, s)
+
+        fn = jax.value_and_grad(one, has_aux=True)
+        for _ in range(coords.ndim - 2):
+            fn = jax.vmap(fn)
+        (e, s_new), g = fn(coords, state)
+        return e, -g, s_new
 
     def charges(self, coords) -> np.ndarray:
         """Runtime EEQ charges for one structure [N, 3]."""

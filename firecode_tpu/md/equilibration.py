@@ -28,14 +28,28 @@ _KB = 0.001987204259  # kcal/(mol K)
 
 @partial(jax.jit, static_argnames=("calc", "n_steps"))
 def _langevin_run(coords, masses, move_mask, key, T, dt, gamma, calc, n_steps: int):
-    """BAOAB Langevin integrator; returns (coords, velocities, key)."""
+    """BAOAB Langevin integrator; returns (coords, velocities, key).
+
+    Stateful calculators (GFN-FF variational EEQ) carry their warm-start
+    state through the scan — two force calls per step makes the warm
+    solve twice as valuable here as in FIRE (opt/fire.py)."""
     inv_m = 1.0 / masses[:, None]
     c1 = jnp.exp(-gamma * dt)
     c2 = jnp.sqrt((1.0 - c1 * c1) * _KB * T)
 
+    if calc.stateful:
+        aux0 = calc.init_state(coords)
+        efs = calc.energy_and_forces_state
+    else:
+        aux0 = ()
+
+        def efs(c, aux):
+            e, f = calc.energy_and_forces(c)
+            return e, f, aux
+
     def step(carry, _):
-        x, v, key = carry
-        _, f = calc.energy_and_forces(x)
+        x, v, key, aux = carry
+        _, f, aux = efs(x, aux)
         f = f * move_mask[:, None]
         v = v + 0.5 * dt * f * inv_m
         x = x + 0.5 * dt * v * move_mask[:, None]
@@ -43,12 +57,14 @@ def _langevin_run(coords, masses, move_mask, key, T, dt, gamma, calc, n_steps: i
         noise = jax.random.normal(sub, x.shape, x.dtype)
         v = c1 * v + c2 * jnp.sqrt(inv_m) * noise * move_mask[:, None]
         x = x + 0.5 * dt * v * move_mask[:, None]
-        _, f = calc.energy_and_forces(x)
+        _, f, aux = efs(x, aux)
         f = f * move_mask[:, None]
         v = v + 0.5 * dt * f * inv_m
-        return (x, v, key), None
+        return (x, v, key, aux), None
 
-    (x, v, key), _ = jax.lax.scan(step, (coords, jnp.zeros_like(coords), key), None, length=n_steps)
+    (x, v, key, _), _ = jax.lax.scan(
+        step, (coords, jnp.zeros_like(coords), key, aux0), None, length=n_steps
+    )
     return x, v, key
 
 

@@ -69,29 +69,41 @@ def _mtd_run(
     c1 = jnp.exp(-gamma * dt)
     c2 = jnp.sqrt((1.0 - c1 * c1) * _KB * T)
 
-    def total_e(x, hist_w, n_alive):
-        return calc.energy_one(x) + _bias_energy(
-            x, hist_w, n_alive, k_push, alpha, n_gauss
-        )
+    # base forces through the stateful fast path when available (GFN-FF
+    # variational EEQ warm-started across MD steps — see opt/fire.py);
+    # the history bias is coordinate-only, so its gradient composes
+    if calc.stateful:
+        aux0 = calc.init_state(coords_w)
+        base_efs = calc.energy_and_forces_state
+    else:
+        aux0 = ()
 
-    grad_e = jax.grad(total_e)
+        def base_efs(xs, aux):
+            e, f = calc.energy_and_forces(xs)
+            return e, f, aux
 
-    def forces(xs, hist, n_alive):
-        return -jax.vmap(lambda x, h: grad_e(x, h, n_alive))(xs, hist)
+    grad_bias = jax.grad(_bias_energy)
+
+    def forces(xs, hist, n_alive, aux):
+        _, f_base, aux = base_efs(xs, aux)
+        gb = jax.vmap(
+            lambda x, h: grad_bias(x, h, n_alive, k_push, alpha, n_gauss)
+        )(xs, hist)
+        return f_base - gb, aux
 
     hist0 = jnp.zeros((w, n_gauss, n, 3), coords_w.dtype)
     hist0 = hist0.at[:, 0].set(coords_w)
 
     def step(carry, i):
-        x, v, hist, key = carry
+        x, v, hist, key, aux = carry
         n_alive = i // dep_every + 1
-        f = forces(x, hist, n_alive)
+        f, aux = forces(x, hist, n_alive, aux)
         v = v + 0.5 * dt * f * inv_m
         x = x + 0.5 * dt * v
         key, sub = jax.random.split(key)
         v = c1 * v + c2 * jnp.sqrt(inv_m) * jax.random.normal(sub, x.shape, x.dtype)
         x = x + 0.5 * dt * v
-        f = forces(x, hist, n_alive)
+        f, aux = forces(x, hist, n_alive, aux)
         v = v + 0.5 * dt * f * inv_m
         # deposit a new Gaussian every dep_every steps (ring-free: capped)
         slot = jnp.minimum(n_alive, n_gauss - 1)
@@ -101,11 +113,11 @@ def _mtd_run(
             hist.at[:, slot].set(x),
             hist,
         )
-        return (x, v, hist, key), None
+        return (x, v, hist, key, aux), None
 
     v0 = jnp.zeros_like(coords_w)
-    (x, v, hist, key), _ = jax.lax.scan(
-        step, (coords_w, v0, hist0, key), jnp.arange(n_steps)
+    (x, v, hist, key, _), _ = jax.lax.scan(
+        step, (coords_w, v0, hist0, key, aux0), jnp.arange(n_steps)
     )
     n_dep = min(n_steps // dep_every + 1, n_gauss)
     return x, hist, n_dep

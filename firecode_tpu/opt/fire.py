@@ -36,6 +36,7 @@ class _FireState(NamedTuple):
     n_pos: jnp.ndarray  # i32[B]
     converged: jnp.ndarray  # bool[B]
     step: jnp.ndarray  # i32
+    aux: tuple = ()  # calculator warm-start state (empty for stateless)
 
 
 _DT_START = 0.02
@@ -48,9 +49,9 @@ _N_MIN = 5
 _MAXSTEP = 0.2  # max per-atom displacement per step, Angstrom
 
 
-def _fire_step(energy_and_forces, move_mask, fmax_thr, state: _FireState) -> _FireState:
+def _fire_step(efs, move_mask, fmax_thr, state: _FireState) -> _FireState:
     coords, v = state.coords, state.v
-    _, f = energy_and_forces(coords)
+    _, f, aux = efs(coords, state.aux)
     f = f * move_mask[..., None]
 
     # convergence is judged at the CURRENT coords, before moving, so lanes
@@ -85,12 +86,25 @@ def _fire_step(energy_and_forces, move_mask, fmax_thr, state: _FireState) -> _Fi
     coords = coords + dx * live[:, None, None]
     v = v * live[:, None, None]
 
-    return _FireState(coords, v, dt, alpha, n_pos, converged, state.step + 1)
+    return _FireState(coords, v, dt, alpha, n_pos, converged, state.step + 1, aux)
 
 
 @partial(jax.jit, static_argnames=("calc",))
 def _optimize_batch_jit(coords, move_mask, fmax_thr, calc: Calculator, max_steps: int):
     b = coords.shape[0]
+    # stateful calculators (GFN-FF variational EEQ) carry a warm-start
+    # state through the loop: the inner solve restarts from the previous
+    # step's solution, cutting its per-step cost several-fold
+    if calc.stateful:
+        aux0 = calc.init_state(coords)
+        efs = calc.energy_and_forces_state
+    else:
+        aux0 = ()
+
+        def efs(c, aux):
+            e, f = calc.energy_and_forces(c)
+            return e, f, aux
+
     state = _FireState(
         coords=coords,
         v=jnp.zeros_like(coords),
@@ -99,16 +113,17 @@ def _optimize_batch_jit(coords, move_mask, fmax_thr, calc: Calculator, max_steps
         n_pos=jnp.zeros((b,), dtype=jnp.int32),
         converged=jnp.zeros((b,), dtype=bool),
         step=jnp.asarray(0, dtype=jnp.int32),
+        aux=aux0,
     )
 
-    step_fn = partial(_fire_step, calc.energy_and_forces, move_mask, fmax_thr)
+    step_fn = partial(_fire_step, efs, move_mask, fmax_thr)
 
     def cond(s: _FireState):
         return (s.step < max_steps) & ~jnp.all(s.converged)
 
     state = lax.while_loop(cond, lambda s: step_fn(s), state)
 
-    e, f = calc.energy_and_forces(state.coords)
+    e, f, _ = efs(state.coords, state.aux)
     f = f * move_mask[..., None]
     fmax_res = jnp.max(jnp.sqrt(jnp.sum(f * f, axis=-1)), axis=-1)
     return OptResult(

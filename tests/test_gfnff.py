@@ -373,3 +373,74 @@ def test_dispatcher_topo_surface():
     calc = Dispatcher("GFNFF-TOPO").get_batch_calc(z, x)
     e, g = calc.energy_and_forces(jnp.asarray(np.stack([x, x + 0.01])))
     assert np.isfinite(np.asarray(e)).all() and np.isfinite(np.asarray(g)).all()
+
+
+def test_warm_eeq_state_path_matches_variational(ethanol_calc):
+    """The optimizer fast path (warm-started, gradient-detached EEQ —
+    energy.eeq_energy_charges_warm) must reproduce the variational
+    energies and forces to solver precision: the Schur recombination
+    enforces the charge constraint exactly, so the Hellmann-Feynman
+    force error is bounded by the CG residual alone."""
+    z, x, calc = ethanol_calc
+    assert calc.stateful  # variational GFNFF advertises the fast path
+
+    rng = np.random.default_rng(7)
+    batch = jnp.asarray(
+        np.stack([x + rng.normal(scale=0.08, size=x.shape) for _ in range(5)])
+    )
+    e_ref, f_ref = calc.energy_and_forces(batch)
+    state = calc.init_state(batch)
+    e_w, f_w, state2 = calc.energy_and_forces_state(batch, state)
+    scale = float(jnp.max(jnp.abs(f_ref)))
+    assert float(jnp.max(jnp.abs(e_w - e_ref))) < 1e-8
+    assert float(jnp.max(jnp.abs(f_w - f_ref))) < 1e-8 * max(scale, 1.0)
+    # the refreshed state keeps the contract on a moved geometry
+    moved = batch + 0.02
+    e_m, f_m, _ = calc.energy_and_forces_state(moved, state2)
+    e_mr, f_mr = calc.energy_and_forces(moved)
+    assert float(jnp.max(jnp.abs(f_m - f_mr))) < 1e-8 * max(scale, 1.0)
+
+
+def test_warm_fire_matches_stateless_fire(ethanol_calc):
+    """optimize_batch takes the warm-start path automatically for
+    stateful calculators; converged minima must match the stateless
+    (custom_linear_solve) route."""
+    from firecode_tpu.opt.fire import optimize_batch
+
+    z, x, calc = ethanol_calc
+    rng = np.random.default_rng(11)
+    batch = jnp.asarray(
+        np.stack([x + rng.normal(scale=0.05, size=x.shape) for _ in range(4)])
+    )
+    res_warm = optimize_batch(calc, batch, fmax=0.02, max_steps=2000)
+    cold = GFNFF(z, x)
+    cold.stateful = False
+    res_cold = optimize_batch(cold, batch, fmax=0.02, max_steps=2000)
+    assert bool(jnp.all(res_warm.converged))
+    assert bool(jnp.all(res_cold.converged))
+    assert float(jnp.max(jnp.abs(res_warm.energy - res_cold.energy))) < 1e-5
+
+
+def test_warm_state_composes_with_constraints(ethanol_calc):
+    """with_extra (penalty constraints) must preserve the warm-start
+    protocol: the composed calculator still advertises and carries EEQ
+    state, and its stateful forces equal the stateless composed forces
+    (base Hellmann-Feynman + exact penalty gradient)."""
+    from firecode_tpu.opt.constraints import Constraints
+
+    z, x, calc = ethanol_calc
+    cons = Constraints()
+    cons.add_distance(0, 1, 1.60)
+    composed = calc.with_extra(cons.energy_fn())
+    assert composed.stateful
+
+    rng = np.random.default_rng(3)
+    batch = jnp.asarray(
+        np.stack([x + rng.normal(scale=0.05, size=x.shape) for _ in range(3)])
+    )
+    e_ref, f_ref = composed.energy_and_forces(batch)
+    state = composed.init_state(batch)
+    e_w, f_w, _ = composed.energy_and_forces_state(batch, state)
+    scale = float(jnp.max(jnp.abs(f_ref)))
+    assert float(jnp.max(jnp.abs(e_w - e_ref))) < 1e-8
+    assert float(jnp.max(jnp.abs(f_w - f_ref))) < 1e-8 * max(scale, 1.0)
