@@ -87,6 +87,23 @@ class Calculator:
         return new
 
 
+def efs_for(calc: Calculator):
+    """(efs, init) pair for step loops: the stateful fast path when the
+    calculator advertises one, else a stateless shim with an empty carry.
+
+    efs(coords, aux) -> (energy, forces, new_aux); init(coords) -> aux0.
+    Optimizers/integrators carry aux through their loop so iterative inner
+    solves (GFN-FF variational EEQ) warm-start across steps."""
+    if calc.stateful:
+        return calc.energy_and_forces_state, calc.init_state
+
+    def efs(coords, aux):
+        e, f = calc.energy_and_forces(coords)
+        return e, f, aux
+
+    return efs, lambda coords: ()
+
+
 class BatchedCalculator(Calculator):
     """Base for INHERENTLY batched calculators: lane b of a [B, N, 3] batch
     carries its own state (its own molecule's topology, its own restraint

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from firecode_tpu.calculators.base import efs_for
 from firecode_tpu.io.xyz import write_xyz
 from firecode_tpu.pt import MASSES, symbols_from_atomnos
 
@@ -37,15 +38,8 @@ def _langevin_run(coords, masses, move_mask, key, T, dt, gamma, calc, n_steps: i
     c1 = jnp.exp(-gamma * dt)
     c2 = jnp.sqrt((1.0 - c1 * c1) * _KB * T)
 
-    if calc.stateful:
-        aux0 = calc.init_state(coords)
-        efs = calc.energy_and_forces_state
-    else:
-        aux0 = ()
-
-        def efs(c, aux):
-            e, f = calc.energy_and_forces(c)
-            return e, f, aux
+    efs, aux_init = efs_for(calc)
+    aux0 = aux_init(coords)
 
     def step(carry, _):
         x, v, key, aux = carry

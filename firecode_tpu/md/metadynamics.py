@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from firecode_tpu.calculators.base import Calculator
+from firecode_tpu.calculators.base import Calculator, efs_for
 from firecode_tpu.ops.rmsd import (
     _pairwise_correlation,
     _qcp_lambda_max,
@@ -72,15 +72,8 @@ def _mtd_run(
     # base forces through the stateful fast path when available (GFN-FF
     # variational EEQ warm-started across MD steps — see opt/fire.py);
     # the history bias is coordinate-only, so its gradient composes
-    if calc.stateful:
-        aux0 = calc.init_state(coords_w)
-        base_efs = calc.energy_and_forces_state
-    else:
-        aux0 = ()
-
-        def base_efs(xs, aux):
-            e, f = calc.energy_and_forces(xs)
-            return e, f, aux
+    base_efs, aux_init = efs_for(calc)
+    aux0 = aux_init(coords_w)
 
     grad_bias = jax.grad(_bias_energy)
 

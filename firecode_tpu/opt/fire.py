@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from firecode_tpu.calculators.base import Calculator
+from firecode_tpu.calculators.base import Calculator, efs_for
 
 
 class OptResult(NamedTuple):
@@ -95,15 +95,8 @@ def _optimize_batch_jit(coords, move_mask, fmax_thr, calc: Calculator, max_steps
     # stateful calculators (GFN-FF variational EEQ) carry a warm-start
     # state through the loop: the inner solve restarts from the previous
     # step's solution, cutting its per-step cost several-fold
-    if calc.stateful:
-        aux0 = calc.init_state(coords)
-        efs = calc.energy_and_forces_state
-    else:
-        aux0 = ()
-
-        def efs(c, aux):
-            e, f = calc.energy_and_forces(c)
-            return e, f, aux
+    efs, aux_init = efs_for(calc)
+    aux0 = aux_init(coords)
 
     state = _FireState(
         coords=coords,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from firecode_tpu.calculators.base import Calculator
+from firecode_tpu.calculators.base import Calculator, efs_for
 
 
 class NEBResult(NamedTuple):
@@ -108,9 +108,13 @@ def idpp_interpolate(
     return np.asarray(res.coords, dtype=np.float64).reshape(m, n, 3)
 
 
-def _neb_forces(calc, images, k_spring, climbing):
-    """True NEB forces for the whole band (improved tangent, optional CI)."""
-    e, f = calc.energy_and_forces(images)
+def _neb_forces(efs, images, k_spring, climbing, aux):
+    """True NEB forces for the whole band (improved tangent, optional CI).
+
+    efs/aux: the stateful evaluator pair from calculators.base.efs_for —
+    bands re-evaluate the calculator every FIRE step, so the GFN-FF
+    variational EEQ warm start pays off exactly as in opt/fire.py."""
+    e, f, aux = efs(images, aux)
     m = images.shape[0]
 
     prev_x = images[:-2]
@@ -154,7 +158,7 @@ def _neb_forces(calc, images, k_spring, climbing):
 
     zeros = jnp.zeros_like(images[:1])
     neb_f = jnp.concatenate([zeros, neb_inner, zeros])
-    return e, neb_f
+    return e, neb_f, aux
 
 
 @partial(jax.jit, static_argnames=("calc",))
@@ -168,8 +172,10 @@ def _neb_fire_jit(images, k_spring, fmax_thr, maxstep, climbing, calc: Calculato
     dt0, dt_max = 0.02, 0.1
     f_inc, f_dec, alpha0, f_alpha, n_min = 1.1, 0.5, 0.25, 0.99, 5
 
+    efs, aux_init = efs_for(calc)
+
     def step_fn(state):
-        imgs, f, v, dt, alpha, n_pos, step = state
+        imgs, f, v, dt, alpha, n_pos, step, aux = state
 
         power = jnp.sum(f * v)
         uphill = power <= 0.0
@@ -189,15 +195,16 @@ def _neb_fire_jit(images, k_spring, fmax_thr, maxstep, climbing, calc: Calculato
         step_len = jnp.sqrt(jnp.sum(dx * dx, axis=-1, keepdims=True)) + 1e-12
         dx = dx * jnp.minimum(1.0, maxstep / step_len)
         imgs = imgs + dx
-        _, f_new = _neb_forces(calc, imgs, k_spring, climbing)
-        return imgs, f_new, v, dt, alpha, n_pos, step + 1
+        _, f_new, aux = _neb_forces(efs, imgs, k_spring, climbing, aux)
+        return imgs, f_new, v, dt, alpha, n_pos, step + 1, aux
 
     def cond(state):
-        _, f, _, _, _, _, step = state
+        f, step = state[1], state[6]
         fmax_now = jnp.max(jnp.sqrt(jnp.sum(f * f, axis=-1)))
         return (step < max_steps) & (fmax_now >= fmax_thr)
 
-    _, f0 = _neb_forces(calc, images, k_spring, climbing)
+    aux0 = aux_init(images)
+    _, f0, aux0 = _neb_forces(efs, images, k_spring, climbing, aux0)
     state = (
         images,
         f0,
@@ -206,6 +213,7 @@ def _neb_fire_jit(images, k_spring, fmax_thr, maxstep, climbing, calc: Calculato
         jnp.asarray(alpha0, images.dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
+        aux0,
     )
     state = lax.while_loop(cond, step_fn, state)
     imgs, f = state[0], state[1]
@@ -318,13 +326,20 @@ def _neb_fire_batch_jit(
     f_inc, f_dec, alpha0, f_alpha, n_min = 1.1, 0.5, 0.25, 0.99, 5
     r = images_b.shape[0]
 
-    band_forces = jax.vmap(lambda im: _neb_forces(calc, im, k_spring, climbing)[1])
+    efs, aux_init = efs_for(calc)
+
+    def band_forces(x, aux):
+        def one(im, a):
+            _, f, a2 = _neb_forces(efs, im, k_spring, climbing, a)
+            return f, a2
+
+        return jax.vmap(one)(x, aux)
 
     def band_fmax(f):
         return jnp.max(jnp.sqrt(jnp.sum(f * f, axis=-1)), axis=(-2, -1))  # [R]
 
     def step_fn(state):
-        x, f, v, dt, alpha, n_pos, step = state
+        x, f, v, dt, alpha, n_pos, step, aux = state
         done = band_fmax(f) < fmax_thr  # [R]
 
         power = jnp.sum(f * v, axis=(-3, -2, -1))  # [R]
@@ -348,14 +363,15 @@ def _neb_fire_batch_jit(
         dx = dx * jnp.minimum(1.0, maxstep / step_len)
         dx = jnp.where(done[:, None, None, None], 0.0, dx)
         x = x + dx
-        f = band_forces(x)
-        return x, f, v, dt, alpha, n_pos, step + 1
+        f, aux = band_forces(x, aux)
+        return x, f, v, dt, alpha, n_pos, step + 1, aux
 
     def cond(state):
-        _, f, _, _, _, _, step = state
+        f, step = state[1], state[6]
         return (step < max_steps) & jnp.any(band_fmax(f) >= fmax_thr)
 
-    f0 = band_forces(images_b)
+    aux0 = aux_init(images_b)
+    f0, aux0 = band_forces(images_b, aux0)
     state = (
         images_b,
         f0,
@@ -364,6 +380,7 @@ def _neb_fire_batch_jit(
         jnp.full((r,), alpha0, images_b.dtype),
         jnp.zeros((r,), jnp.int32),
         jnp.asarray(0, jnp.int32),
+        aux0,
     )
     x, f, *_ = lax.while_loop(cond, step_fn, state)
     e = calc.energy(x)  # [R, M] (Calculator.energy vmaps all leading dims)
