@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from firecode_tpu.calculators.base import Calculator
+from firecode_tpu.calculators.base import Calculator, efs_for
 
 
 class FSMResult(NamedTuple):
@@ -33,18 +33,23 @@ def _relax_perpendicular(coords, tangents, calc: Calculator, n_steps: int, step_
     """Steepest-descent on the force component perpendicular to the tangent.
 
     coords/tangents: [B, N, 3]; tangents are unit-normalized per node.
+    Stateful calculators warm-start their inner solve across the loop
+    (calculators.base.efs_for, same as opt/fire.py).
     """
+    efs, aux_init = efs_for(calc)
 
-    def body(_, x):
-        _, f = calc.energy_and_forces(x)
+    def body(_, carry):
+        x, aux = carry
+        _, f, aux = efs(x, aux)
         f_par = jnp.sum(f * tangents, axis=(-2, -1), keepdims=True) * tangents
         f_perp = f - f_par
         step = step_size * f_perp
         norm = jnp.sqrt(jnp.sum(step * step, axis=-1, keepdims=True)) + 1e-12
         step = step * jnp.minimum(1.0, 0.05 / norm)
-        return x + step
+        return x + step, aux
 
-    return jax.lax.fori_loop(0, n_steps, body, coords)
+    x, _ = jax.lax.fori_loop(0, n_steps, body, (coords, aux_init(coords)))
+    return x
 
 
 def run_fsm(
