@@ -304,6 +304,60 @@ def bench_gfnff_opt() -> None:
     )
 
 
+def bench_mtd() -> None:
+    """Native batched-metadynamics throughput: walker-steps/second for an
+    RMSD-CV MTD swarm on the default calculator (GFN-FF, warm-started
+    variational EEQ; two force evaluations per BAOAB step). The capability
+    the CPU reference outsources to CREST one trajectory at a time
+    (reference interfaces/crest.py:444). Run with FIRECODE_BENCH_MODE=mtd."""
+    import jax
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.gfnff import GFNFF
+    from firecode_tpu.md.metadynamics import _FS, _mtd_run
+    from firecode_tpu.pt import MASSES
+    from firecode_tpu.sample_molecules import build_alkane
+
+    n_walkers = int(os.environ.get("FIRECODE_BENCH_MTD_WALKERS", "256"))
+    n_steps = int(os.environ.get("FIRECODE_BENCH_MTD_STEPS", "2000"))
+    dep_every = 100
+    atomnos, coords = build_alkane(8)  # 26 atoms: csearch-size molecule
+    calc = GFNFF(atomnos, coords)
+    rng = np.random.default_rng(0)
+    walkers = (
+        coords[None] + 0.02 * rng.normal(size=(n_walkers, *coords.shape))
+    ).astype(np.float32)
+    masses = jnp.asarray(MASSES[np.asarray(atomnos)], jnp.float32)
+    n_gauss = n_steps // dep_every + 1
+
+    def run(x, seed):
+        out = _mtd_run(
+            jnp.asarray(x), masses, jax.random.PRNGKey(seed),
+            jnp.asarray(500.0, jnp.float32), jnp.asarray(1.0 * _FS, jnp.float32),
+            jnp.asarray(0.02 / _FS, jnp.float32), jnp.asarray(3.0, jnp.float32),
+            jnp.asarray(0.6, jnp.float32), calc, n_steps, dep_every, n_gauss,
+        )
+        out[0].block_until_ready()
+
+    run(walkers, 0)  # compile
+    t0 = time.perf_counter()
+    run(walkers, 1)
+    elapsed = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "batched RMSD-metadynamics throughput (26 atoms, GFN-FF)",
+                "value": round(n_walkers * n_steps / elapsed, 0),
+                "unit": "walker-steps/s",
+                "vs_baseline": round(n_walkers * n_steps / elapsed / 1000.0, 2),
+                "n_walkers": n_walkers,
+                "n_steps": n_steps,
+                "elapsed_s": round(elapsed, 3),
+            }
+        )
+    )
+
+
 def bench_pallas_ab() -> dict:
     """Isolated A/B of the fused Pallas QCP tile vs the jnp path: the full
     8192^2 minimum-RMSD matrix (rmsd-only, the Pallas production use case).
@@ -359,6 +413,9 @@ def main() -> None:
         return
     if os.environ.get("FIRECODE_BENCH_MODE") == "gfnff":
         bench_gfnff_opt()
+        return
+    if os.environ.get("FIRECODE_BENCH_MODE") == "mtd":
+        bench_mtd()
         return
     import jax
 

@@ -280,7 +280,10 @@ def gfnff_energy_terms(
     "topo" freezes the setup-geometry EEQ charges and evaluates the same
     erf-damped Coulomb pairwise — the published GFN-FF's behaviour
     (charges from topology, not geometry) and the fast path for large-N
-    batched optimization (no linear solve under the step loop)."""
+    batched optimization (no linear solve under the step loop);
+    "none" skips the ES term entirely — internal mode for
+    gfnff_energy_warm, which adds the warm-started detached EEQ term
+    externally."""
     dt = coords.dtype
     zero = jnp.asarray(0.0, dtype=dt)
     terms = {
