@@ -279,3 +279,23 @@ def test_liteff_linear_molecule_no_nan():
     # sp3-sp single bond relaxes clearly below ethane's sp3-sp3 value
     xo = np.asarray(res.coords[0])
     assert np.linalg.norm(xo[0] - xo[1]) < 1.49
+
+
+def test_optimize_batch_mesh_stateful_warm_path(rng):
+    """Mesh-sharded FIRE with a STATEFUL calculator (GFN-FF variational
+    EEQ warm start): the carried solver state must shard with the
+    ensemble axis and reproduce the single-device result."""
+    from firecode_tpu.calculators.gfnff import GFNFF
+    from firecode_tpu.parallel import ensemble_mesh
+    from firecode_tpu.sample_molecules import build_ethanol
+
+    z, x = build_ethanol()
+    calc = GFNFF(z, x)
+    assert calc.stateful
+    ens = x[None] + rng.normal(scale=0.04, size=(11, *x.shape))
+    mesh = ensemble_mesh(8)
+    res_m = optimize_batch(calc, ens, max_steps=120, mesh=mesh)
+    res_1 = optimize_batch(calc, ens, max_steps=120)
+    assert res_m.coords.shape == ens.shape
+    assert np.allclose(np.asarray(res_m.coords), np.asarray(res_1.coords), atol=1e-6)
+    assert np.allclose(np.asarray(res_m.energy), np.asarray(res_1.energy), atol=1e-8)
