@@ -358,6 +358,83 @@ def bench_mtd() -> None:
     )
 
 
+def bench_e2e() -> None:
+    """End-to-end conformer-pipeline wall-clock — the product loop the
+    reference distributes over a CPU cluster (SURVEY.md section 3.3 +
+    optimization_refining), here one device program chain on one chip:
+    torsion csearch -> MOI/RMSD cascade -> batched loose GFN-FF FIRE ->
+    energy window -> tight FIRE -> final rot-corr cascade.
+    Run with FIRECODE_BENCH_MODE=e2e."""
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.gfnff import GFNFF
+    from firecode_tpu.csearch import csearch
+    from firecode_tpu.opt.fire import optimize_batch
+    from firecode_tpu.prune import (
+        prune_by_moi,
+        prune_by_rmsd,
+        prune_by_rmsd_rot_corr,
+    )
+    from firecode_tpu.sample_molecules import build_alkane
+
+    n_out = int(os.environ.get("FIRECODE_BENCH_E2E_CONFS", "2048"))
+    z, x = build_alkane(12)  # 38 atoms, 9 rotatable C-C bonds
+    calc = GFNFF(z, x)
+
+    def pipeline() -> dict:
+        t: dict = {}
+        t0 = time.perf_counter()
+        ens = csearch(z, x, n_out=n_out, seed=1)
+        t["n_generated"] = int(len(ens))
+        t["csearch_s"] = round(time.perf_counter() - t0, 3)
+
+        t1 = time.perf_counter()
+        ens = jnp.asarray(ens, jnp.float32)
+        ens = ens[np.asarray(prune_by_moi(ens, z))]
+        ens = ens[np.asarray(prune_by_rmsd(ens, z, rmsd_thr=0.3))]
+        t["n_after_prune"] = int(ens.shape[0])
+        t["prune_s"] = round(time.perf_counter() - t1, 3)
+
+        t2 = time.perf_counter()
+        loose = optimize_batch(calc, ens, fmax=0.5, max_steps=2000)  # production loose threshold (driver/embedder.py:1202)
+        t["loose_converged"] = int(np.count_nonzero(np.asarray(loose.converged)))
+        t["loose_s"] = round(time.perf_counter() - t2, 3)
+
+        t3 = time.perf_counter()
+        e = np.asarray(loose.energy)
+        window = e < e.min() + 10.0  # kcal/mol
+        kept = jnp.asarray(np.asarray(loose.coords)[window])
+        tight = optimize_batch(calc, kept, fmax=0.05, max_steps=3000)  # production tight threshold
+        t["n_in_window"] = int(kept.shape[0])
+        t["tight_converged"] = int(np.count_nonzero(np.asarray(tight.converged)))
+        t["tight_s"] = round(time.perf_counter() - t3, 3)
+
+        t4 = time.perf_counter()
+        final = tight.coords
+        energies = tight.energy
+        keep = np.asarray(prune_by_rmsd_rot_corr(
+            final, z, energies=energies, max_dE=1.0
+        ))
+        t["n_final"] = int(np.count_nonzero(keep))
+        t["final_prune_s"] = round(time.perf_counter() - t4, 3)
+        t["total_s"] = round(time.perf_counter() - t0, 3)
+        return t
+
+    pipeline()  # compile pass (deterministic seed -> identical shapes)
+    t = pipeline()  # steady state
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end conformer pipeline (38 atoms: csearch -> prune -> loose+tight GFN-FF FIRE -> rot-corr prune)",
+                "value": t["total_s"],
+                "unit": "s",
+                "vs_baseline": round(t["n_generated"] / t["total_s"], 1),
+                **t,
+            }
+        )
+    )
+
+
 def bench_pallas_ab() -> dict:
     """Isolated A/B of the fused Pallas QCP tile vs the jnp path: the full
     8192^2 minimum-RMSD matrix (rmsd-only, the Pallas production use case).
@@ -416,6 +493,9 @@ def main() -> None:
         return
     if os.environ.get("FIRECODE_BENCH_MODE") == "mtd":
         bench_mtd()
+        return
+    if os.environ.get("FIRECODE_BENCH_MODE") == "e2e":
+        bench_e2e()
         return
     import jax
 
