@@ -248,6 +248,7 @@ def optimize_batch(
     mesh=None,
     atom_mask=None,
     polish: bool = True,
+    compact: bool | None = None,
 ) -> OptResult:
     """FIRE-relax a conformer batch [B, N, 3] on the given calculator.
 
@@ -279,6 +280,15 @@ def optimize_batch(
     slowly, so periodic restarts substantially improve tail convergence on
     mixed stiff/soft mode spectra (empirically ~3x more converged lanes at
     the same total step count for long alkanes).
+
+    compact: gather unconverged lanes into power-of-2 buckets between
+    rounds (and before the polish) so later rounds don't pay full-batch
+    compute for frozen lanes. Rounds reset all per-lane state, so lane
+    trajectories (coords, convergence) are bit-identical either way;
+    reported energies/fmax agree to f32 reduction-order noise (different
+    batch shapes fuse reductions differently — measured ~1e-7 relative).
+    Each new bucket size costs one compile. Default (None): on for
+    unsharded batches >= 512.
     """
     coords = jnp.asarray(coords)
     squeeze = coords.ndim == 2
@@ -295,6 +305,7 @@ def optimize_batch(
                 batch_chunk=batch_chunk,
                 mesh=mesh,
                 polish=polish,
+                compact=compact,
                 atom_mask=(
                     atom_mask[start : start + batch_chunk]
                     if atom_mask is not None and jnp.ndim(atom_mask) == 2
@@ -341,23 +352,96 @@ def optimize_batch(
     steps_per_round = max(max_steps // restarts, 1)
     fmax_arr = jnp.asarray(fmax, coords.dtype)
     total_steps = 0
-    res = None
-    for _ in range(restarts):
-        res = _optimize_batch_jit(coords, move, fmax_arr, calc, steps_per_round)
-        coords = res.coords
+
+    # Between-round compaction: converged lanes are frozen but still COST
+    # full compute under SPMD, so once a round converges >=25% of the batch
+    # the survivors are gathered into a power-of-2 bucket (ghost-padded with
+    # a duplicate of one live lane) and later rounds run on the smaller
+    # batch. Rounds reset all per-lane FIRE state, so lane trajectories are
+    # bit-identical with or without compaction (tested); buckets are powers
+    # of two to bound the number of distinct compiled shapes. Disabled under
+    # a mesh (resharding mid-run is not worth it) and for small batches.
+    b = coords.shape[0]
+    if compact is None:
+        compact = mesh is None and b >= 512 and restarts > 1
+    else:
+        compact = compact and mesh is None
+    import numpy as _np
+
+    final_coords = coords
+    final_energy = jnp.zeros((b,), coords.dtype)
+    final_fmax = jnp.full((b,), jnp.inf, coords.dtype)
+    final_conv = jnp.zeros((b,), bool)
+    cur_coords = coords
+    cur_move = move
+    cur_idx = _np.arange(b)  # original-batch index of each REAL lane
+
+    def _scatter(res, n_real):
+        nonlocal final_coords, final_energy, final_fmax, final_conv
+        idx = jnp.asarray(cur_idx)
+        final_coords = final_coords.at[idx].set(res.coords[:n_real])
+        final_energy = final_energy.at[idx].set(res.energy[:n_real])
+        final_fmax = final_fmax.at[idx].set(res.fmax[:n_real])
+        final_conv = final_conv.at[idx].set(res.converged[:n_real])
+
+    for r in range(restarts):
+        res = _optimize_batch_jit(cur_coords, cur_move, fmax_arr, calc, steps_per_round)
         total_steps += int(res.n_steps)
-        if bool(jnp.all(res.converged)):
+        n_real = len(cur_idx)
+        _scatter(res, n_real)
+        conv_host = _np.asarray(res.converged[:n_real])
+        if conv_host.all() or r == restarts - 1:
             break
-    if polish and not bool(jnp.all(res.converged)):
+        live = _np.where(~conv_host)[0]
+        bucket = max(256, 1 << int(_np.ceil(_np.log2(len(live)))))
+        if compact and conv_host.mean() >= 0.25 and bucket < n_real:
+            padded = _np.concatenate(
+                [live, _np.repeat(live[:1], bucket - len(live))]
+            )
+            cur_coords = jnp.take(res.coords, jnp.asarray(padded), axis=0)
+            if cur_move.ndim == 2:
+                cur_move = jnp.take(cur_move, jnp.asarray(padded), axis=0)
+            cur_idx = cur_idx[live]
+        else:
+            cur_coords = res.coords
+
+    if polish and not bool(jnp.all(final_conv)):
         # straggler lanes: a few matrix-free Newton-CG steps finish what
-        # FIRE's stiff-mode-capped dt cannot (see _newton_polish_jit)
-        p_coords, p_e, p_fmax, p_conv = _newton_polish_jit(
-            res.coords, res.converged, move, fmax_arr, calc,
-            _POLISH_NEWTON, _POLISH_CG,
-        )
-        res = OptResult(p_coords, p_e, p_fmax, p_conv, res.n_steps)
+        # FIRE's stiff-mode-capped dt cannot (see _newton_polish_jit);
+        # compacted the same way as the rounds
+        conv_host = _np.asarray(final_conv)
+        live = _np.where(~conv_host)[0]
+        bucket = max(256, 1 << int(_np.ceil(_np.log2(len(live)))))
+        if compact and bucket < b:
+            padded = _np.concatenate(
+                [live, _np.repeat(live[:1], bucket - len(live))]
+            )
+            pidx = jnp.asarray(padded)
+            p_move = (
+                jnp.take(move, pidx, axis=0) if move.ndim == 2 else move
+            )
+            p_coords, p_e, p_fmax, p_conv = _newton_polish_jit(
+                jnp.take(final_coords, pidx, axis=0),
+                jnp.zeros((bucket,), bool),
+                p_move, fmax_arr, calc, _POLISH_NEWTON, _POLISH_CG,
+            )
+            lidx = jnp.asarray(live)
+            n_live = len(live)
+            final_coords = final_coords.at[lidx].set(p_coords[:n_live])
+            final_energy = final_energy.at[lidx].set(p_e[:n_live])
+            final_fmax = final_fmax.at[lidx].set(p_fmax[:n_live])
+            final_conv = final_conv.at[lidx].set(p_conv[:n_live])
+        else:
+            p_coords, p_e, p_fmax, p_conv = _newton_polish_jit(
+                final_coords, final_conv, move, fmax_arr, calc,
+                _POLISH_NEWTON, _POLISH_CG,
+            )
+            final_coords, final_energy, final_fmax, final_conv = (
+                p_coords, p_e, p_fmax, p_conv,
+            )
     res = OptResult(
-        res.coords, res.energy, res.fmax, res.converged, jnp.asarray(total_steps)
+        final_coords, final_energy, final_fmax, final_conv,
+        jnp.asarray(total_steps),
     )
     if pad:
         res = OptResult(

@@ -299,3 +299,24 @@ def test_optimize_batch_mesh_stateful_warm_path(rng):
     assert res_m.coords.shape == ens.shape
     assert np.allclose(np.asarray(res_m.coords), np.asarray(res_1.coords), atol=1e-6)
     assert np.allclose(np.asarray(res_m.energy), np.asarray(res_1.energy), atol=1e-8)
+
+
+def test_optimize_batch_compaction_equivalence(rng):
+    """Between-round compaction (unconverged lanes gathered into power-of-2
+    buckets) must reproduce the uncompacted run: trajectories are
+    per-lane independent and rounds reset all FIRE state, so coords and
+    convergence are bit-identical; energies agree to f32 reduction noise."""
+    from firecode_tpu.calculators.gfnff import GFNFF
+    from firecode_tpu.sample_molecules import build_ethanol
+
+    z, x = build_ethanol()
+    calc = GFNFF(z, x)
+    batch = jnp.asarray(
+        np.stack([x + rng.normal(scale=0.1, size=x.shape) for _ in range(600)]),
+        jnp.float32,
+    )
+    a = optimize_batch(calc, batch, fmax=0.05, max_steps=2000, compact=True)
+    b = optimize_batch(calc, batch, fmax=0.05, max_steps=2000, compact=False)
+    assert bool(jnp.all(a.coords == b.coords))
+    assert bool(jnp.all(a.converged == b.converged))
+    assert float(jnp.max(jnp.abs(a.energy - b.energy))) < 1e-3
