@@ -36,6 +36,7 @@ class _FireState(NamedTuple):
     n_pos: jnp.ndarray  # i32[B]
     converged: jnp.ndarray  # bool[B]
     step: jnp.ndarray  # i32
+    n_live0: jnp.ndarray = ()  # i32: lanes live at the round's first step
     aux: tuple = ()  # calculator warm-start state (empty for stateless)
 
 
@@ -49,7 +50,7 @@ _N_MIN = 5
 _MAXSTEP = 0.2  # max per-atom displacement per step, Angstrom
 
 
-def _fire_step(efs, move_mask, fmax_thr, state: _FireState) -> _FireState:
+def _fire_step(efs, move_mask, fmax_thr, real_mask, state: _FireState) -> _FireState:
     coords, v = state.coords, state.v
     _, f, aux = efs(coords, state.aux)
     f = f * move_mask[..., None]
@@ -59,6 +60,18 @@ def _fire_step(efs, move_mask, fmax_thr, state: _FireState) -> _FireState:
     per_atom_f = jnp.sqrt(jnp.sum(f * f, axis=-1))
     fmax_now = jnp.max(per_atom_f, axis=-1)
     converged = state.converged | (fmax_now < fmax_thr)
+    # live-lane count at the round's first step: the early-exit fraction is
+    # measured against THIS set, so lanes already converged on entry (e.g.
+    # the full-batch no-compaction path in later rounds) don't inflate it.
+    # Only REAL lanes count — compaction ghost-pads buckets with duplicates
+    # and the mesh path pads to the device count; counting those would shift
+    # the exit step with the batch makeup and break the bit-identity of
+    # compacted vs uncompacted runs.
+    n_live0 = jnp.where(
+        state.step == 0,
+        jnp.sum(~converged & real_mask).astype(state.n_live0.dtype),
+        state.n_live0,
+    )
 
     f_norm = jnp.sqrt(jnp.sum(f * f, axis=(-2, -1), keepdims=True)) + 1e-12
     v_norm = jnp.sqrt(jnp.sum(v * v, axis=(-2, -1), keepdims=True))
@@ -86,12 +99,19 @@ def _fire_step(efs, move_mask, fmax_thr, state: _FireState) -> _FireState:
     coords = coords + dx * live[:, None, None]
     v = v * live[:, None, None]
 
-    return _FireState(coords, v, dt, alpha, n_pos, converged, state.step + 1, aux)
+    return _FireState(
+        coords, v, dt, alpha, n_pos, converged, state.step + 1, n_live0, aux
+    )
 
 
 @partial(jax.jit, static_argnames=("calc",))
-def _optimize_batch_jit(coords, move_mask, fmax_thr, calc: Calculator, max_steps: int):
+def _optimize_batch_jit(
+    coords, move_mask, fmax_thr, calc: Calculator, max_steps: int,
+    exit_frac=1.0, real_mask=None,
+):
     b = coords.shape[0]
+    if real_mask is None:
+        real_mask = jnp.ones((b,), dtype=bool)
     # stateful calculators (GFN-FF variational EEQ) carry a warm-start
     # state through the loop: the inner solve restarts from the previous
     # step's solution, cutting its per-step cost several-fold
@@ -106,13 +126,21 @@ def _optimize_batch_jit(coords, move_mask, fmax_thr, calc: Calculator, max_steps
         n_pos=jnp.zeros((b,), dtype=jnp.int32),
         converged=jnp.zeros((b,), dtype=bool),
         step=jnp.asarray(0, dtype=jnp.int32),
+        n_live0=jnp.asarray(b, dtype=jnp.int32),
         aux=aux0,
     )
 
-    step_fn = partial(_fire_step, efs, move_mask, fmax_thr)
+    step_fn = partial(_fire_step, efs, move_mask, fmax_thr, real_mask)
+    # a round may end once the live set has shrunk to (1 - exit_frac) of its
+    # first-step size — survivors continue next round (usually compacted)
+    # with a fresh FIRE restart, which the stall measurements favor anyway.
+    # exit_frac=1.0 reduces exactly to the all-converged criterion.
+    frac = jnp.asarray(exit_frac, coords.dtype)
 
     def cond(s: _FireState):
-        return (s.step < max_steps) & ~jnp.all(s.converged)
+        still_live = jnp.sum(~s.converged & real_mask).astype(jnp.int32)
+        floor = ((1.0 - frac) * s.n_live0.astype(coords.dtype)).astype(jnp.int32)
+        return (s.step < max_steps) & (still_live > floor)
 
     state = lax.while_loop(cond, lambda s: step_fn(s), state)
 
@@ -250,6 +278,7 @@ def optimize_batch(
     polish: bool = True,
     compact: bool | None = None,
     tail_cycles: int = 2,
+    round_exit_frac: float = 0.9,
 ) -> OptResult:
     """FIRE-relax a conformer batch [B, N, 3] on the given calculator.
 
@@ -295,6 +324,12 @@ def optimize_batch(
     tail after the scheduled rounds + polish — a stalled FIRE lane almost
     always converges given a fresh full budget. Each cycle costs
     ~bucket/B of a full pass; stops early on an all-stalled cycle.
+
+    round_exit_frac: intermediate rounds may end once this fraction of
+    their first-step live lanes has converged — the surviving tail moves
+    to the next round (compacted, freshly restarted) instead of holding
+    the full batch on device. The last round and the tail cycles always
+    run to full convergence or budget. 1.0 disables the early exit.
     """
     coords = jnp.asarray(coords)
     squeeze = coords.ndim == 2
@@ -382,6 +417,10 @@ def optimize_batch(
     cur_coords = coords
     cur_move = move
     cur_idx = _np.arange(b)  # original-batch index of each REAL lane
+    # mesh-pad lanes (b_in..b) are duplicates and must not count toward the
+    # round early-exit fraction; compaction refreshes this per bucket
+    cur_real = _np.ones(b, dtype=bool)
+    cur_real[b_in:] = False
 
     def _scatter(res, n_real):
         nonlocal final_coords, final_energy, final_fmax, final_conv
@@ -392,7 +431,14 @@ def optimize_batch(
         final_conv = final_conv.at[idx].set(res.converged[:n_real])
 
     for r in range(restarts):
-        res = _optimize_batch_jit(cur_coords, cur_move, fmax_arr, calc, steps_per_round)
+        # intermediate rounds may hand their stalled tail to the next
+        # (compacted, freshly-restarted) round early; the last scheduled
+        # round always runs to full convergence or budget
+        frac = round_exit_frac if r < restarts - 1 else 1.0
+        res = _optimize_batch_jit(
+            cur_coords, cur_move, fmax_arr, calc, steps_per_round, frac,
+            jnp.asarray(cur_real),
+        )
         total_steps += int(res.n_steps)
         n_real = len(cur_idx)
         _scatter(res, n_real)
@@ -409,6 +455,8 @@ def optimize_batch(
             if cur_move.ndim == 2:
                 cur_move = jnp.take(cur_move, jnp.asarray(padded), axis=0)
             cur_idx = cur_idx[live]
+            cur_real = _np.zeros(bucket, dtype=bool)
+            cur_real[: len(live)] = True
         else:
             cur_coords = res.coords
 
