@@ -87,12 +87,27 @@ class Dispatcher:
             from firecode_tpu.calculators.xtb_io import XTBHostCalculator
 
             return XTBHostCalculator(atomnos, charge=charge, solvent=solvent)
+        if self.calculator == "AIMNET2":
+            from firecode_tpu.calculators.aimnet2 import load_aimnet2, solvate_host
+
+            calc = load_aimnet2(atomnos, charge=charge)
+            if solvent is not None:
+                calc = solvate_host(calc, atomnos, solvent, total_charge=charge)
+            return calc
+        if self.calculator == "UMA":
+            from firecode_tpu.calculators.aimnet2 import load_uma, solvate_host
+
+            calc = load_uma(atomnos, charge=charge)
+            if solvent is not None:
+                calc = solvate_host(calc, atomnos, solvent, total_charge=charge)
+            return calc
         raise MissingExternalError(
             f"Calculator {self.calculator} requires an external engine that is "
-            "not available in this environment. Native options: LITEFF "
-            "(classical FF), LITEFF-R (reactive), MLIP (neural potential, "
-            "bundled CHNO checkpoint or FIRECODE_TPU_MLIP_PATH); external: "
-            "XTB when the binary is installed."
+            "not available in this environment. Native options: GFNFF "
+            "(generated FF), LITEFF (classical FF), LITEFF-R (reactive), MLIP "
+            "(neural potential, bundled CHNO checkpoint or "
+            "FIRECODE_TPU_MLIP_PATH); external: XTB when the binary is "
+            "installed, AIMNET2/UMA with user-supplied weights."
         )
 
 

@@ -278,6 +278,8 @@ class XTBHostCalculator(Calculator):
     hatch for parity checks").
     """
 
+    host_only = True
+
     def __init__(self, atomnos: np.ndarray, charge: int = 0, solvent: str | None = None):
         self.atomnos = np.asarray(atomnos)
         self.charge = charge

@@ -265,6 +265,120 @@ def _composed_calc(calc: Calculator, constraints) -> Calculator:
     return hit
 
 
+def optimize_batch_host(
+    calc: Calculator,
+    coords,
+    constraints=None,
+    fmax: float = 0.05,
+    max_steps: int = 1000,
+    atom_mask=None,
+) -> OptResult:
+    """Batched FIRE on a HOST calculator (xtb subprocesses, AIMNet2/UMA torch
+    models, ASE objects): the same update rule as the jitted device loop,
+    driven in numpy with ONE batched calc.energy_and_forces call per step —
+    the torch/subprocess cost amortizes over the whole batch exactly like the
+    reference running ASE's FIRE on its ML calculators
+    (firecode/ase_manipulations.py:171-260).
+
+    Constraint penalties and their gradients are evaluated with jax (the
+    same differentiable terms as the device path) and added on host, so
+    constrained optimization works identically on host calculators."""
+    import numpy as _np
+
+    coords = _np.array(coords, dtype=_np.float64)
+    squeeze = coords.ndim == 2
+    if squeeze:
+        coords = coords[None]
+    b, n = coords.shape[0], coords.shape[1]
+    move = (
+        _np.asarray(constraints.move_mask(n), dtype=bool)
+        if constraints is not None
+        else _np.ones(n, dtype=bool)
+    )
+    if atom_mask is not None:
+        move = move & _np.asarray(atom_mask, dtype=bool)
+    move_b = _np.broadcast_to(move, (b, n))[..., None].astype(_np.float64)
+
+    pen_eg = None
+    if constraints is not None:
+        pen_fn = constraints.energy_fn()
+        pen_eg = jax.jit(jax.vmap(jax.value_and_grad(pen_fn)))
+
+    def efs(c):
+        e, f = calc.energy_and_forces(c)
+        e = _np.asarray(e, dtype=_np.float64)
+        f = _np.asarray(f, dtype=_np.float64)
+        if pen_eg is not None:
+            pe, pg = pen_eg(jnp.asarray(c))
+            e = e + _np.asarray(pe)
+            f = f - _np.asarray(pg)
+        return e, f * move_b
+
+    v = _np.zeros_like(coords)
+    dt = _np.full(b, _DT_START)
+    alpha = _np.full(b, _ALPHA0)
+    n_pos = _np.zeros(b, dtype=int)
+    converged = _np.zeros(b, dtype=bool)
+    dead = _np.zeros(b, dtype=bool)  # lanes that went non-finite
+    prev = coords.copy()
+    e = _np.zeros(b)
+    steps = 0
+    for steps in range(max_steps):
+        e_now, f = efs(coords)
+        # a lane whose host model returns NaN/Inf (atoms driven into a
+        # singularity of the PES) is frozen at its last finite geometry and
+        # reported unconverged — mirrors the driver's 1e10 failure masks
+        bad = ~(
+            _np.isfinite(f).all(axis=(-2, -1)) & _np.isfinite(e_now)
+        ) & ~dead
+        if bad.any():
+            coords = _np.where(bad[:, None, None], prev, coords)
+            f = _np.where(bad[:, None, None], 0.0, f)
+            e_now = _np.where(bad, e, e_now)
+            dead |= bad
+        prev = coords.copy()
+        e = _np.where(converged | dead, e, e_now)
+        fmax_now = _np.sqrt((f * f).sum(-1)).max(-1)
+        converged |= (fmax_now < fmax) & ~dead
+        if (converged | dead).all():
+            break
+        f_norm = _np.sqrt((f * f).sum((-2, -1), keepdims=True)) + 1e-12
+        v_norm = _np.sqrt((v * v).sum((-2, -1), keepdims=True))
+        power = (f * v).sum((-2, -1))
+        uphill = power <= 0.0
+        n_pos = _np.where(uphill, 0, n_pos + 1)
+        grow = (~uphill) & (n_pos > _N_MIN)
+        dt = _np.where(grow, _np.minimum(dt * _F_INC, _DT_MAX), dt)
+        dt = _np.where(uphill, dt * _F_DEC, dt)
+        alpha = _np.where(grow, alpha * _F_ALPHA, alpha)
+        alpha = _np.where(uphill, _ALPHA0, alpha)
+        v = _np.where(uphill[:, None, None], 0.0, v)
+        a = alpha[:, None, None]
+        v = (1.0 - a) * v + a * v_norm * f / f_norm
+        v = v + dt[:, None, None] * f
+        dx = dt[:, None, None] * v
+        step_len = _np.sqrt((dx * dx).sum(-1, keepdims=True)) + 1e-12
+        dx = dx * _np.minimum(1.0, _MAXSTEP / step_len)
+        live = (~converged & ~dead)[:, None, None]
+        coords = coords + dx * live
+        v = v * live
+
+    e_res, f_res = efs(coords)
+    fmax_res = _np.sqrt((f_res * f_res).sum(-1)).max(-1)
+    res = OptResult(
+        coords=jnp.asarray(coords),
+        energy=jnp.asarray(e_res),
+        fmax=jnp.asarray(fmax_res),
+        converged=jnp.asarray(converged | (fmax_res < fmax)),
+        n_steps=jnp.asarray(steps + 1, dtype=jnp.int32),
+    )
+    if squeeze:
+        res = OptResult(
+            res.coords[0], res.energy[0], res.fmax[0], res.converged[0], res.n_steps
+        )
+    return res
+
+
 def optimize_batch(
     calc: Calculator,
     coords,
@@ -330,7 +444,19 @@ def optimize_batch(
     to the next round (compacted, freshly restarted) instead of holding
     the full batch on device. The last round and the tail cycles always
     run to full convergence or budget. 1.0 disables the early exit.
+
+    Host calculators (calc.host_only — xtb subprocesses, AIMNet2/UMA torch
+    models) are not traceable and route to optimize_batch_host.
     """
+    if getattr(calc, "host_only", False):
+        return optimize_batch_host(
+            calc,
+            coords,
+            constraints=constraints,
+            fmax=fmax,
+            max_steps=max_steps,
+            atom_mask=atom_mask,
+        )
     coords = jnp.asarray(coords)
     squeeze = coords.ndim == 2
     if squeeze:
