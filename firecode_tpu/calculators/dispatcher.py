@@ -87,6 +87,10 @@ class Dispatcher:
             from firecode_tpu.calculators.xtb_io import XTBHostCalculator
 
             return XTBHostCalculator(atomnos, charge=charge, solvent=solvent)
+        if self.calculator == "TBLITE":
+            from firecode_tpu.calculators.tblite_io import load_tblite
+
+            return load_tblite(atomnos, charge=charge, solvent=solvent)
         if self.calculator == "AIMNET2":
             from firecode_tpu.calculators.aimnet2 import load_aimnet2, solvate_host
 

@@ -59,3 +59,21 @@ def test_dispatcher_unknown_calculator():
 
     with pytest.raises(SyntaxError, match="not a recognized calculator"):
         Dispatcher("MAGIC")
+
+
+def test_tblite_gate():
+    """TBLITE routes to the gated tblite loader (reference dispatcher.py:187-260)."""
+    import numpy as np
+
+    from firecode_tpu.calculators.dispatcher import Dispatcher
+
+    try:
+        import tblite  # noqa: F401
+
+        pytest.skip("tblite installed: gate not exercised")
+    except ImportError:
+        pass
+    atomnos = np.array([8, 1, 1])
+    coords = np.zeros((3, 3))
+    with pytest.raises(MissingExternalError, match="GFNFF"):
+        Dispatcher("TBLITE").get_batch_calc(atomnos, coords)
