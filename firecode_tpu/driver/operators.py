@@ -56,8 +56,9 @@ def operate(filename: str, operator: str, embedder) -> str | None:
         "freq": freq_operator,
         "thermo": freq_operator,
         "pka": pka_operator,
-        # native batched metadynamics (no external binary needed)
+        # native batched metadynamics / global optimizer (no binary needed)
         "mtd_native": mtd_native_operator,
+        "goat_native": goat_native_operator,
         # external engines (gated)
         "mtd": crest_operator,
         "mtd_search": crest_operator,
@@ -262,6 +263,58 @@ def mtd_native_operator(
     from firecode_tpu.units import KCAL_TO_EH
 
     # write_xyz labels frame energies in Eh — convert the relative kcal/mol
+    rel_eh = (energies - energies.min()) * KCAL_TO_EH if len(confs) else None
+    write_xyz(outname, mol.atoms, confs, energies=rel_eh, title=Path(filename).stem)
+    embedder.log(f"    Wrote {len(confs)} conformers to {outname}")
+    return outname
+
+
+def goat_native_operator(
+    filename: str,
+    embedder,
+    walkers: int = 8,
+    rounds: int = 6,
+    uphill_steps: int = 1000,
+    dep_every: int = 100,
+    k_push: float = 4.0,
+    alpha: float = 0.7,
+    temperature: float = 700.0,
+    maxen: float = 6.0,
+) -> str:
+    """Native batched GOAT-style global conformer optimization (goat_native>).
+
+    The reference reaches global optimization only through the proprietary
+    ORCA GOAT binary (firecode/interfaces/goat.py:32); here the uphill/
+    downhill cycle runs natively: biased walkers pre-seeded with the whole
+    known pool (md/goat.py), batched FIRE downhill, MAXEN window + cascade
+    dedup, until the pool goes stale. maxen is the retained energy window
+    in kcal/mol (ORCA %goat MAXEN)."""
+    from firecode_tpu.md.goat import run_goat
+
+    mol = _mol_for(filename, embedder)
+    calc = _get_calc(embedder, mol)
+    constrained = _internal_constraints_for(filename, embedder)
+    cons = _constraints_object(mol, constrained, embedder)
+    embedder.log(f"--> goat_native> batched global optimization on {filename}")
+    res = run_goat(
+        calc, mol.atomnos, mol.coords,
+        n_walkers=int(walkers), max_rounds=int(rounds),
+        uphill_steps=int(uphill_steps), dep_every=int(dep_every),
+        k_push=float(k_push), alpha=float(alpha),
+        temperature=float(temperature), maxen=float(maxen),
+        rmsd_thr=embedder.options.rmsd, constraints=cons,
+    )
+    tag = "converged (stale pool)" if res.converged else "round limit reached"
+    embedder.log(
+        f"    pool of {len(res.energies)} conformers after "
+        f"{res.rounds} uphill/downhill rounds — {tag}"
+    )
+
+    n_out = min(len(res.energies), embedder.options.max_confs)
+    confs, energies = res.coords[:n_out], res.energies[:n_out]
+    outname = f"{Path(filename).stem}_goat.xyz"
+    from firecode_tpu.units import KCAL_TO_EH
+
     rel_eh = (energies - energies.min()) * KCAL_TO_EH if len(confs) else None
     write_xyz(outname, mol.atoms, confs, energies=rel_eh, title=Path(filename).stem)
     embedder.log(f"    Wrote {len(confs)} conformers to {outname}")

@@ -62,8 +62,15 @@ def _bias_energy(x, hist_w, n_alive, k_push, alpha, n_gauss):
 def _mtd_run(
     coords_w, masses, key, T, dt, gamma, k_push, alpha,
     calc: Calculator, n_steps: int, dep_every: int, n_gauss: int,
+    hist0=None, n_seed=None,
 ):
-    """Batched MTD: [W, N, 3] walkers, per-walker Gaussian history."""
+    """Batched MTD: [W, N, 3] walkers, per-walker Gaussian history.
+
+    With hist0/n_seed (goat_native, md/goat.py), the history starts
+    pre-seeded: slots [0, n_seed) of hist0 are live bias centers from the
+    first step (the shared known-conformer pool that walkers are pushed
+    away from), and new deposits append after them. n_seed is traced, so
+    a growing pool re-uses one compiled program at fixed n_gauss."""
     w, n, _ = coords_w.shape
     inv_m = 1.0 / masses[:, None]
     c1 = jnp.exp(-gamma * dt)
@@ -84,12 +91,14 @@ def _mtd_run(
         )(xs, hist)
         return f_base - gb, aux
 
-    hist0 = jnp.zeros((w, n_gauss, n, 3), coords_w.dtype)
-    hist0 = hist0.at[:, 0].set(coords_w)
+    if hist0 is None:
+        hist0 = jnp.zeros((w, n_gauss, n, 3), coords_w.dtype)
+        hist0 = hist0.at[:, 0].set(coords_w)
+        n_seed = jnp.asarray(1, jnp.int32)
 
     def step(carry, i):
         x, v, hist, key, aux = carry
-        n_alive = i // dep_every + 1
+        n_alive = n_seed + i // dep_every
         f, aux = forces(x, hist, n_alive, aux)
         v = v + 0.5 * dt * f * inv_m
         x = x + 0.5 * dt * v
