@@ -161,6 +161,22 @@ def test_loadbar_and_eta(capsys):
     assert "25/100" in line and "2.000 s/structure" in line and "ETA 150 s" in line
 
 
+@pytest.mark.operator
+def test_goat_native_operator_run(rundir):
+    """goat_native> end-to-end through the input language: small budgets,
+    butane — must terminate normally and write the pool ensemble."""
+    atomnos, coords = build_alkane(4)
+    run_input(
+        rundir,
+        "NOOPT\ngoat_native(walkers=2,rounds=2,uphill_steps=120,dep_every=40)> "
+        "butane.xyz\n",
+        {"butane.xyz": (atomnos, coords)},
+    )
+    out = rundir / "butane_goat.xyz"
+    assert out.exists()
+    assert out.read_text().count("\n") > 10  # at least one real frame
+
+
 @pytest.mark.embed
 def test_refine_run_gfnff_topo(rundir, rng):
     """CALC=GFNFF-TOPO (fixed setup charges) drives the full refine
