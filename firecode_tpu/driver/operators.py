@@ -56,9 +56,11 @@ def operate(filename: str, operator: str, embedder) -> str | None:
         "freq": freq_operator,
         "thermo": freq_operator,
         "pka": pka_operator,
-        # native batched metadynamics / global optimizer (no binary needed)
+        # native batched metadynamics / global optimizer / genetic
+        # crossing (no binary needed)
         "mtd_native": mtd_native_operator,
         "goat_native": goat_native_operator,
+        "gc_native": gc_native_operator,
         # external engines (gated)
         "mtd": crest_operator,
         "mtd_search": crest_operator,
@@ -280,6 +282,7 @@ def goat_native_operator(
     alpha: float = 0.7,
     temperature: float = 700.0,
     maxen: float = 6.0,
+    gc: bool = False,
 ) -> str:
     """Native batched GOAT-style global conformer optimization (goat_native>).
 
@@ -302,7 +305,7 @@ def goat_native_operator(
         uphill_steps=int(uphill_steps), dep_every=int(dep_every),
         k_push=float(k_push), alpha=float(alpha),
         temperature=float(temperature), maxen=float(maxen),
-        rmsd_thr=embedder.options.rmsd, constraints=cons,
+        rmsd_thr=embedder.options.rmsd, constraints=cons, gc=bool(gc),
     )
     tag = "converged (stale pool)" if res.converged else "round limit reached"
     embedder.log(
@@ -313,6 +316,66 @@ def goat_native_operator(
     n_out = min(len(res.energies), embedder.options.max_confs)
     confs, energies = res.coords[:n_out], res.energies[:n_out]
     outname = f"{Path(filename).stem}_goat.xyz"
+    from firecode_tpu.units import KCAL_TO_EH
+
+    rel_eh = (energies - energies.min()) * KCAL_TO_EH if len(confs) else None
+    write_xyz(outname, mol.atoms, confs, energies=rel_eh, title=Path(filename).stem)
+    embedder.log(f"    Wrote {len(confs)} conformers to {outname}")
+    return outname
+
+
+def gc_native_operator(
+    filename: str,
+    embedder,
+    maxen: float = 6.0,
+    max_children: int = 256,
+    min_turn: float = 30.0,
+    gens: int = 3,
+) -> str:
+    """Native batched genetic torsion crossing (gc_native>).
+
+    The reference reaches genetic crossing only through the CREST binary's
+    iMTD-GC workflow (firecode/interfaces/crest.py:444); here the input
+    ensemble is optimized, then every parent pair is crossed in torsion
+    space (md/gc.py), the children optimized as one batched FIRE program,
+    and the merged pool cascade-deduplicated — repeated for up to `gens`
+    generations or until the pool stops growing."""
+    from firecode_tpu.md.gc import run_gc
+    from firecode_tpu.opt import optimize_batch
+
+    mol = _mol_for(filename, embedder)
+    calc = _get_calc(embedder, mol)
+    constrained = _internal_constraints_for(filename, embedder)
+    cons = _constraints_object(mol, constrained, embedder)
+    embedder.log(f"--> gc_native> genetic torsion crossing on {filename}")
+
+    res = optimize_batch(
+        calc, mol.coords, constraints=cons, fmax=0.05, max_steps=3000
+    )
+    ok = np.asarray(res.converged)
+    pool_c = np.asarray(res.coords, dtype=np.float64)[ok]
+    pool_e = np.asarray(res.energy, dtype=np.float64)[ok]
+    if len(pool_c) == 0:
+        raise InputError(
+            f"gc_native> {filename}: no input conformer optimized to "
+            "convergence"
+        )
+    order = np.argsort(pool_e, kind="stable")
+    pool_c, pool_e = pool_c[order], pool_e[order]
+
+    pool_c, pool_e, n_new = run_gc(
+        calc, mol.atomnos, pool_c, pool_e,
+        maxen=float(maxen), rmsd_thr=embedder.options.rmsd,
+        max_children=int(max_children), min_turn=float(min_turn),
+        max_gens=int(gens), constraints=cons,
+    )
+    embedder.log(
+        f"    {n_new} new conformers from crossing — pool of {len(pool_e)}"
+    )
+
+    n_out = min(len(pool_e), embedder.options.max_confs)
+    confs, energies = pool_c[:n_out], pool_e[:n_out]
+    outname = f"{Path(filename).stem}_gc.xyz"
     from firecode_tpu.units import KCAL_TO_EH
 
     rel_eh = (energies - energies.min()) * KCAL_TO_EH if len(confs) else None

@@ -45,22 +45,26 @@ class GoatResult:
 
 
 def _dedup_pool(coords, energies, atomnos, maxen, rmsd_thr):
-    """Energy-window + sort + MOI/RMSD cascade; keeps lowest-energy first."""
+    """Energy-window + sort + MOI/RMSD cascade; keeps lowest-energy first.
+
+    Returns (coords, energies, kept) where kept holds the surviving
+    structures' indices into the INPUT arrays (callers use it to tell
+    which newly-appended candidates actually enlarged the pool)."""
     from firecode_tpu.prune import prune_by_moi, prune_by_rmsd
 
-    order = np.argsort(energies, kind="stable")
-    coords, energies = coords[order], energies[order]
+    idx = np.argsort(energies, kind="stable")
+    coords, energies = coords[idx], energies[idx]
     win = energies <= energies[0] + maxen
-    coords, energies = coords[win], energies[win]
+    coords, energies, idx = coords[win], energies[win], idx[win]
     if len(coords) > 1:
-        keep = prune_by_moi(coords, atomnos, energies=energies)
-        coords, energies = coords[keep], energies[keep]
+        keep = np.asarray(prune_by_moi(coords, atomnos, energies=energies))
+        coords, energies, idx = coords[keep], energies[keep], idx[keep]
     if len(coords) > 1:
-        keep = prune_by_rmsd(
-            coords, atomnos, rmsd_thr=rmsd_thr, energies=energies
+        keep = np.asarray(
+            prune_by_rmsd(coords, atomnos, rmsd_thr=rmsd_thr, energies=energies)
         )
-        coords, energies = coords[keep], energies[keep]
-    return coords, energies
+        coords, energies, idx = coords[keep], energies[keep], idx[keep]
+    return coords, energies, idx
 
 
 def run_goat(
@@ -85,13 +89,16 @@ def run_goat(
     gamma_fs: float = 0.02,
     seed: int = 0,
     constraints=None,
+    gc: bool = False,
 ) -> GoatResult:
     """GOAT-style global conformer search; returns the final pool.
 
     coords: one structure [N, 3] or an initial ensemble [B, N, 3]. maxen is
     the retained energy window in kcal/mol above the running global minimum
     (ORCA %goat MAXEN). pool_cap bounds the seeded bias history (lowest-
-    energy pool members are seeded when the pool exceeds it).
+    energy pool members are seeded when the pool exceeds it). gc=True runs
+    genetic torsion crossing (md/gc.py) on the final pool — the iMTD-GC
+    composition the reference reaches only through the CREST binary.
     """
     from firecode_tpu.opt import optimize_batch
 
@@ -117,7 +124,7 @@ def run_goat(
         raise RuntimeError(
             "goat_native: no input structure optimized to convergence"
         )
-    pool_c, pool_e = _dedup_pool(pool_c, pool_e, atomnos, maxen, rmsd_thr)
+    pool_c, pool_e, _ = _dedup_pool(pool_c, pool_e, atomnos, maxen, rmsd_thr)
 
     n = coords.shape[1]
     n_dep = uphill_steps // dep_every
@@ -162,12 +169,37 @@ def run_goat(
         prev_len, prev_min = len(pool_c), pool_e[0]
         pool_c = np.concatenate([pool_c, new_c], axis=0)
         pool_e = np.concatenate([pool_e, new_e], axis=0)
-        pool_c, pool_e = _dedup_pool(pool_c, pool_e, atomnos, maxen, rmsd_thr)
+        pool_c, pool_e, kept = _dedup_pool(
+            pool_c, pool_e, atomnos, maxen, rmsd_thr
+        )
 
         improved = pool_e[0] < prev_min - min_tol
-        grew = len(pool_c) > prev_len
+        # "grew" = some walker candidate survived dedup (net size can stay
+        # flat when dedup also merges previously-distinct pool members)
+        grew = bool(np.any(kept >= prev_len))
         stale = 0 if (improved or grew) else stale + 1
         if stale >= patience:
-            return GoatResult(pool_c, pool_e, rounds_run, True)
+            return _finish(
+                pool_c, pool_e, rounds_run, True, gc, calc, atomnos,
+                maxen, rmsd_thr, fmax, opt_steps, constraints,
+            )
 
-    return GoatResult(pool_c, pool_e, rounds_run, False)
+    return _finish(
+        pool_c, pool_e, rounds_run, False, gc, calc, atomnos,
+        maxen, rmsd_thr, fmax, opt_steps, constraints,
+    )
+
+
+def _finish(
+    pool_c, pool_e, rounds_run, converged, gc, calc, atomnos,
+    maxen, rmsd_thr, fmax, opt_steps, constraints,
+) -> GoatResult:
+    """Optional final genetic-crossing pass (iMTD-GC's GC stage)."""
+    if gc and len(pool_c) >= 2:
+        from firecode_tpu.md.gc import run_gc
+
+        pool_c, pool_e, _ = run_gc(
+            calc, atomnos, pool_c, pool_e, maxen=maxen, rmsd_thr=rmsd_thr,
+            fmax=fmax, opt_steps=opt_steps, constraints=constraints,
+        )
+    return GoatResult(pool_c, pool_e, rounds_run, converged)
