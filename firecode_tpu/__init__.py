@@ -46,6 +46,14 @@ def __getattr__(name):
         from firecode_tpu.md.metadynamics import run_mtd
 
         return run_mtd
+    if name == "run_goat":
+        from firecode_tpu.md.goat import run_goat
+
+        return run_goat
+    if name == "run_gc":
+        from firecode_tpu.md.gc import run_gc
+
+        return run_gc
     if name == "Embedder":
         from firecode_tpu.driver import Embedder
 
@@ -71,6 +79,8 @@ __all__ = [
     "GFNFF",
     "StackedLiteFF",
     "run_mtd",
+    "run_goat",
+    "run_gc",
     "Embedder",
     "Hypermolecule",
     "__version__",
