@@ -221,6 +221,7 @@ def mtd_native_operator(
     k_push: float = 3.0,
     alpha: float = 0.6,
     temperature: float = 500.0,
+    gc: bool = False,
 ) -> str:
     """Native batched RMSD metadynamics conformer search (mtd_native>).
 
@@ -228,7 +229,9 @@ def mtd_native_operator(
     (firecode/interfaces/crest.py:444); here W biased walkers run as one
     batched device program (md/metadynamics.py), and the deposited
     snapshots go through the standard optimize -> energy-sort -> cascade
-    refinement. A capability the per-process CPU reference cannot express."""
+    refinement. A capability the per-process CPU reference cannot express.
+    gc=1 appends genetic torsion crossing on the refined pool (md/gc.py) —
+    CREST's full iMTD-GC composition, natively."""
     from firecode_tpu.md.metadynamics import run_mtd
     from firecode_tpu.opt import optimize_batch
     from firecode_tpu.prune import prune_by_moi, prune_by_rmsd
@@ -258,6 +261,14 @@ def mtd_native_operator(
             confs, mol.atomnos, rmsd_thr=embedder.options.rmsd, energies=energies
         )
         confs, energies = confs[keep], energies[keep]
+    if gc and len(confs) >= 2:
+        from firecode_tpu.md.gc import run_gc
+
+        confs, energies, n_new = run_gc(
+            calc, mol.atomnos, confs, energies,
+            rmsd_thr=embedder.options.rmsd, constraints=cons,
+        )
+        embedder.log(f"    GC stage: {n_new} surviving crossed conformers")
     n_out = min(len(confs), embedder.options.max_confs)
     confs, energies = confs[:n_out], energies[:n_out]
 

@@ -111,3 +111,18 @@ def test_gc_native_operator_registered():
     import inspect
 
     assert "max_children" in inspect.signature(gc_native_operator).parameters
+
+
+def test_imtd_gc_composition_flags():
+    """Both native search drivers compose with the GC stage (iMTD-GC)."""
+    import inspect
+
+    from firecode_tpu.driver.operators import (
+        goat_native_operator,
+        mtd_native_operator,
+    )
+    from firecode_tpu.md.goat import run_goat
+
+    assert "gc" in inspect.signature(mtd_native_operator).parameters
+    assert "gc" in inspect.signature(goat_native_operator).parameters
+    assert "gc" in inspect.signature(run_goat).parameters
