@@ -243,13 +243,16 @@ def mtd_native_operator(
         calc, mol.atomnos, mol.coords[0],
         n_walkers=int(walkers), n_steps=int(steps), dep_every=int(dep_every),
         k_push=float(k_push), alpha=float(alpha),
-        temperature=float(temperature),
+        temperature=float(temperature), mesh=embedder.device_mesh,
     )
     embedder.log(f"    {len(pool)} biased snapshots from {int(walkers)} walkers")
 
     constrained = _internal_constraints_for(filename, embedder)
     cons = _constraints_object(mol, constrained, embedder)
-    res = optimize_batch(calc, pool, constraints=cons, fmax=0.05, max_steps=3000)
+    res = optimize_batch(
+        calc, pool, constraints=cons, fmax=0.05, max_steps=3000,
+        mesh=embedder.device_mesh,
+    )
     confs = np.asarray(res.coords, dtype=np.float64)[np.asarray(res.converged)]
     energies = np.asarray(res.energy, dtype=np.float64)[np.asarray(res.converged)]
     order = np.argsort(energies)
@@ -267,6 +270,7 @@ def mtd_native_operator(
         confs, energies, n_new = run_gc(
             calc, mol.atomnos, confs, energies,
             rmsd_thr=embedder.options.rmsd, constraints=cons,
+            mesh=embedder.device_mesh,
         )
         embedder.log(f"    GC stage: {n_new} surviving crossed conformers")
     n_out = min(len(confs), embedder.options.max_confs)
@@ -317,6 +321,7 @@ def goat_native_operator(
         k_push=float(k_push), alpha=float(alpha),
         temperature=float(temperature), maxen=float(maxen),
         rmsd_thr=embedder.options.rmsd, constraints=cons, gc=bool(gc),
+        mesh=embedder.device_mesh,
     )
     tag = "converged (stale pool)" if res.converged else "round limit reached"
     embedder.log(
@@ -361,7 +366,8 @@ def gc_native_operator(
     embedder.log(f"--> gc_native> genetic torsion crossing on {filename}")
 
     res = optimize_batch(
-        calc, mol.coords, constraints=cons, fmax=0.05, max_steps=3000
+        calc, mol.coords, constraints=cons, fmax=0.05, max_steps=3000,
+        mesh=embedder.device_mesh,
     )
     ok = np.asarray(res.converged)
     pool_c = np.asarray(res.coords, dtype=np.float64)[ok]
@@ -378,7 +384,7 @@ def gc_native_operator(
         calc, mol.atomnos, pool_c, pool_e,
         maxen=float(maxen), rmsd_thr=embedder.options.rmsd,
         max_children=int(max_children), min_turn=float(min_turn),
-        max_gens=int(gens), constraints=cons,
+        max_gens=int(gens), constraints=cons, mesh=embedder.device_mesh,
     )
     embedder.log(
         f"    {n_new} new conformers from crossing — pool of {len(pool_e)}"

@@ -155,13 +155,15 @@ def run_gc(
     min_turn: float = 30.0,
     max_gens: int = 3,
     constraints=None,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Genetic-crossing generations until the pool stops growing.
 
     Each generation crosses every parent pair, optimizes the children as one
     batched FIRE program, and merges them into the energy-windowed,
     cascade-deduplicated pool (CREST repeats GC until self-consistency;
-    max_gens bounds it). Returns (coords, energies, n_new_total).
+    max_gens bounds it). mesh: optional "ens" mesh — the children's batched
+    FIRE shards over it. Returns (coords, energies, n_new_total).
     """
     from firecode_tpu.md.goat import _dedup_pool
     from firecode_tpu.opt import optimize_batch
@@ -180,7 +182,7 @@ def run_gc(
             break
         res = optimize_batch(
             calc, children, constraints=constraints, fmax=fmax,
-            max_steps=opt_steps,
+            max_steps=opt_steps, mesh=mesh,
         )
         ok = np.asarray(res.converged)
         new_c = np.asarray(res.coords, dtype=np.float64)[ok]

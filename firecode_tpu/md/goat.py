@@ -90,6 +90,7 @@ def run_goat(
     seed: int = 0,
     constraints=None,
     gc: bool = False,
+    mesh=None,
 ) -> GoatResult:
     """GOAT-style global conformer search; returns the final pool.
 
@@ -99,6 +100,8 @@ def run_goat(
     energy pool members are seeded when the pool exceeds it). gc=True runs
     genetic torsion crossing (md/gc.py) on the final pool — the iMTD-GC
     composition the reference reaches only through the CREST binary.
+    mesh: optional "ens" mesh — uphill walkers AND the downhill batched
+    FIRE both shard over it (walkers are independent; zero collectives).
     """
     from firecode_tpu.opt import optimize_batch
 
@@ -110,7 +113,8 @@ def run_goat(
 
     def downhill(cands):
         res = optimize_batch(
-            calc, cands, constraints=constraints, fmax=fmax, max_steps=opt_steps
+            calc, cands, constraints=constraints, fmax=fmax,
+            max_steps=opt_steps, mesh=mesh,
         )
         ok = np.asarray(res.converged)
         return (
@@ -143,9 +147,14 @@ def run_goat(
         starts = starts + 0.02 * rng.normal(size=starts.shape)
         hist0 = np.zeros((n_walkers, n_gauss, n, 3))
         hist0[:, :p] = pool_c[:p]
+        starts_j, hist0_j = jnp.asarray(starts), jnp.asarray(hist0)
+        if mesh is not None:
+            from firecode_tpu.md.metadynamics import shard_walkers
+
+            starts_j, hist0_j = shard_walkers(mesh, starts_j, hist0_j)
         key, sub = jax.random.split(key)
         x_end, hist, _ = _mtd_run(
-            jnp.asarray(starts),
+            starts_j,
             masses,
             sub,
             jnp.asarray(float(temperature)),
@@ -157,13 +166,14 @@ def run_goat(
             int(uphill_steps),
             int(dep_every),
             int(n_gauss),
-            hist0=jnp.asarray(hist0),
+            hist0=hist0_j,
             n_seed=jnp.asarray(p, jnp.int32),
         )
         # candidates: the walkers' own deposits (slots [p, p+n_dep)) plus
         # their endpoints; the seeded prefix is the already-known pool
-        deps = np.asarray(hist[:, p : p + n_dep]).reshape(-1, n, 3)
-        cands = np.concatenate([deps, np.asarray(x_end)], axis=0)
+        # (mesh-padded walkers, if any, are sliced off)
+        deps = np.asarray(hist[:n_walkers, p : p + n_dep]).reshape(-1, n, 3)
+        cands = np.concatenate([deps, np.asarray(x_end[:n_walkers])], axis=0)
         new_c, new_e = downhill(cands)
 
         prev_len, prev_min = len(pool_c), pool_e[0]
@@ -181,18 +191,18 @@ def run_goat(
         if stale >= patience:
             return _finish(
                 pool_c, pool_e, rounds_run, True, gc, calc, atomnos,
-                maxen, rmsd_thr, fmax, opt_steps, constraints,
+                maxen, rmsd_thr, fmax, opt_steps, constraints, mesh,
             )
 
     return _finish(
         pool_c, pool_e, rounds_run, False, gc, calc, atomnos,
-        maxen, rmsd_thr, fmax, opt_steps, constraints,
+        maxen, rmsd_thr, fmax, opt_steps, constraints, mesh,
     )
 
 
 def _finish(
     pool_c, pool_e, rounds_run, converged, gc, calc, atomnos,
-    maxen, rmsd_thr, fmax, opt_steps, constraints,
+    maxen, rmsd_thr, fmax, opt_steps, constraints, mesh=None,
 ) -> GoatResult:
     """Optional final genetic-crossing pass (iMTD-GC's GC stage)."""
     if gc and len(pool_c) >= 2:
@@ -201,5 +211,6 @@ def _finish(
         pool_c, pool_e, _ = run_gc(
             calc, atomnos, pool_c, pool_e, maxen=maxen, rmsd_thr=rmsd_thr,
             fmax=fmax, opt_steps=opt_steps, constraints=constraints,
+            mesh=mesh,
         )
     return GoatResult(pool_c, pool_e, rounds_run, converged)

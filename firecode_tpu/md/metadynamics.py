@@ -125,6 +125,31 @@ def _mtd_run(
     return x, hist, n_dep
 
 
+def shard_walkers(mesh, *arrays):
+    """Shard the leading (walker) axis of each array over the mesh's "ens"
+    axis, padding to a device-count multiple by repeating the first walker
+    (padded rows are dropped by slicing outputs back to the real count).
+
+    Walkers never interact — no cross-walker reduction exists anywhere in
+    the MTD program — so the sharded run is the same math per walker and
+    XLA propagates the input sharding through the whole scan."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(mesh.devices.size)
+    w = arrays[0].shape[0]
+    w_pad = -(-w // n_dev) * n_dev
+    out = []
+    for a in arrays:
+        a = jnp.asarray(a)
+        if w_pad != w:
+            pad = jnp.broadcast_to(a[:1], (w_pad - w, *a.shape[1:]))
+            a = jnp.concatenate([a, pad], axis=0)
+        spec = P("ens", *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out[0] if len(out) == 1 else out
+
+
 def run_mtd(
     calc: Calculator,
     atomnos: np.ndarray,
@@ -139,6 +164,7 @@ def run_mtd(
     gamma_fs: float = 0.02,
     seed: int = 0,
     jitter: float = 0.02,
+    mesh=None,
 ) -> np.ndarray:
     """Run batched RMSD metadynamics; returns the deposited snapshot
     ensemble [W * n_deposits, N, 3] (unoptimized — feed it to the cascade
@@ -147,6 +173,9 @@ def run_mtd(
     coords: one structure [N, 3] (walkers start from jittered copies) or a
     walker batch [W, N, 3]. k_push (kcal/mol) and alpha (A) follow CREST's
     k/alpha roles; temperature defaults high (500 K) for basin hopping.
+    mesh: optional jax.sharding.Mesh with an "ens" axis — the walker axis
+    is sharded over it (walkers are independent, so scaling rides ICI with
+    zero collectives; padded walkers are dropped from the output).
     """
     coords = np.asarray(coords, dtype=np.float64)
     if coords.ndim == 2:
@@ -158,8 +187,11 @@ def run_mtd(
     n_gauss = n_steps // dep_every + 1
     masses = jnp.asarray(MASSES[np.asarray(atomnos)])
     key = jax.random.PRNGKey(seed)
+    coords_j = jnp.asarray(coords)
+    if mesh is not None:
+        coords_j = shard_walkers(mesh, coords_j)
     _, hist, n_dep = _mtd_run(
-        jnp.asarray(coords),
+        coords_j,
         masses,
         key,
         jnp.asarray(float(temperature)),
@@ -172,5 +204,5 @@ def run_mtd(
         int(dep_every),
         int(n_gauss),
     )
-    out = np.asarray(hist[:, :n_dep]).reshape(w * n_dep, *coords.shape[1:])
+    out = np.asarray(hist[:w, :n_dep]).reshape(w * n_dep, *coords.shape[1:])
     return out
