@@ -62,6 +62,10 @@ def __getattr__(name):
         from firecode_tpu.embed import Hypermolecule
 
         return Hypermolecule
+    if name in ("ensemble_analysis", "boltzmann_populations"):
+        import firecode_tpu.ensemble_thermo as _et
+
+        return getattr(_et, name)
     raise AttributeError(f"module 'firecode_tpu' has no attribute {name!r}")
 
 
@@ -83,5 +87,7 @@ __all__ = [
     "run_gc",
     "Embedder",
     "Hypermolecule",
+    "ensemble_analysis",
+    "boltzmann_populations",
     "__version__",
 ]

@@ -56,6 +56,9 @@ def operate(filename: str, operator: str, embedder) -> str | None:
         "freq": freq_operator,
         "thermo": freq_operator,
         "pka": pka_operator,
+        "entropy": entropy_operator,
+        "confanal": entropy_operator,
+        "population": entropy_operator,
         # native batched metadynamics / global optimizer / genetic
         # crossing (no binary needed)
         "mtd_native": mtd_native_operator,
@@ -847,6 +850,112 @@ def freq_operator(filename: str, embedder) -> str:
     out_json = f"{Path(filename).stem}_thermo.json"
     Path(out_json).write_text(json.dumps(report, indent=2))
     embedder.log(f"    Wrote thermochemistry data to {out_json}")
+    return filename
+
+
+def entropy_operator(
+    filename: str, embedder, qrrho: bool = False, group: bool = False,
+    top: int = 10,
+) -> str:
+    """Ensemble population / conformational-entropy report.
+
+    The CREST ecosystem prints S_conf, the ensemble free energy and the
+    Boltzmann populations with every pruned ensemble (cregen; the dedicated
+    --entropy mode); the reference only gets those numbers out of the CREST
+    binary (reference interfaces/crest.py:444). Here they are native:
+    batched ensemble energies (one device call) -> host population analysis.
+    `entropy(qrrho=1)>` adds per-conformer qRRHO G_corr from batched exact
+    Hessians, so populations are over free energies rather than E_el;
+    `entropy(group=1)>` first collapses rotamer duplicates (rot-corr RMSD
+    groups, cregen's degeneracy bookkeeping) and weights each unique
+    conformer by its multiplicity."""
+    import jax.numpy as jnp
+
+    from firecode_tpu.ensemble_thermo import ensemble_analysis
+
+    mol = _mol_for(filename, embedder)
+    calc = _get_calc(embedder, mol)
+    coords = jnp.asarray(mol.coords)
+    # np.array (not asarray): device arrays view as read-only, and the
+    # qrrho branch accumulates G_corr in place
+    g = np.array(calc.energy(coords), dtype=np.float64)
+    if qrrho:
+        from firecode_tpu.opt.hessian import (
+            batch_hessian,
+            cleanup_frequencies,
+            mass_weighted_frequencies,
+        )
+        from firecode_tpu.thermo import rrho_thermo
+
+        hessians = np.asarray(batch_hessian(calc, coords))
+        for c, h in enumerate(hessians):
+            freqs, _ = mass_weighted_frequencies(h, mol.atomnos)
+            vib, _ = cleanup_frequencies(freqs, mol.coords[c])
+            g[c] += rrho_thermo(
+                vib, mol.coords[c], mol.atomnos,
+                T=embedder.options.T, P=embedder.options.P,
+                C=embedder.options.C, solvent=embedder.options.solvent,
+            )["g_corr"]
+
+    idx = np.arange(len(g))
+    deg = None
+    if group:
+        from firecode_tpu.ensemble_thermo import rotamer_degeneracies
+
+        idx, deg = rotamer_degeneracies(
+            mol.coords, mol.atomnos, energies=g,
+            rmsd_thr=min(embedder.options.rmsd, 0.25),
+        )
+        embedder.log(
+            f"    Rotamer grouping: {len(g)} structures -> {len(idx)} "
+            f"unique conformers"
+        )
+        g = g[idx]
+
+    res = ensemble_analysis(g, T=embedder.options.T, degeneracies=deg)
+    p = res["populations"]
+    label = "G(qRRHO)" if qrrho else "E_el"
+    embedder.log(
+        f"    {res['n_conformers']} conformers at T = {res['T']:.2f} K "
+        f"({label} weighting):"
+    )
+    order = np.argsort(g, kind="stable")
+    for rank, i in enumerate(order[: max(int(top), 1)]):
+        gtag = f", g = {int(deg[i])}" if deg is not None else ""
+        embedder.log(
+            f"      #{rank + 1} (conf {idx[i] + 1}): rel {label} = "
+            f"{g[i] - res['g_min_kcal']:7.3f} kcal/mol, "
+            f"pop = {100 * p[i]:6.2f} %{gtag}"
+        )
+    embedder.log(
+        f"    S_conf = {res['s_conf_cal_mol_k']:.3f} cal/(mol K)   "
+        f"-T*S_conf = {res['minus_t_s_conf_kcal']:.3f} kcal/mol\n"
+        f"    G_conf = {res['g_conf_kcal']:.3f} kcal/mol   "
+        f"<G> = {res['g_avg_kcal']:.3f} kcal/mol   "
+        f"({res['n_for_90pct']} conformers cover 90% of the population)"
+    )
+
+    import json
+
+    out_json = f"{Path(filename).stem}_entropy.json"
+    Path(out_json).write_text(
+        json.dumps(
+            {
+                **{k: v for k, v in res.items() if k != "populations"},
+                "weighting": label,
+                "conformer_indices": [int(i) for i in idx],
+                **(
+                    {"degeneracies": [int(d) for d in deg]}
+                    if deg is not None
+                    else {}
+                ),
+                "rel_energies_kcal": [round(float(x - g.min()), 5) for x in g],
+                "populations": [round(float(x), 6) for x in p],
+            },
+            indent=2,
+        )
+    )
+    embedder.log(f"    Wrote population analysis to {out_json}")
     return filename
 
 
