@@ -797,9 +797,23 @@ class Embedder:
             show = min(10, len(self.energies))
             rel = self.energies[:show] - np.min(self.energies)
             if np.max(self.energies - np.min(self.energies)) > 0:
+                from firecode_tpu.ensemble_thermo import ensemble_analysis
+
+                ens = ensemble_analysis(self.energies, T=self.options.T)
+                pops = ens["populations"]
                 self.log(f"\n--> Energies of output structures (first {show})")
                 for i, e in enumerate(rel):
-                    self.log(f"> Candidate {i + 1:2}    {e:.2f} kcal/mol")
+                    self.log(
+                        f"> Candidate {i + 1:2}    {e:.2f} kcal/mol "
+                        f"({100 * pops[i]:5.1f} %)"
+                    )
+                self.log(
+                    f"--> Ensemble: S_conf = {ens['s_conf_cal_mol_k']:.2f} "
+                    f"cal/(mol K), G_conf - G_min = "
+                    f"{ens['g_conf_kcal'] - ens['g_min_kcal']:.2f} kcal/mol, "
+                    f"{ens['n_for_90pct']} conformer(s) cover 90% of the "
+                    f"population at {self.options.T:.2f} K"
+                )
             with open("firecode_best.xyz", "w") as f:
                 write_xyz(f, self.atoms, self.structures[0])
 

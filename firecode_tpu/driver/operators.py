@@ -932,7 +932,7 @@ def entropy_operator(
         f"-T*S_conf = {res['minus_t_s_conf_kcal']:.3f} kcal/mol\n"
         f"    G_conf = {res['g_conf_kcal']:.3f} kcal/mol   "
         f"<G> = {res['g_avg_kcal']:.3f} kcal/mol   "
-        f"({res['n_for_90pct']} conformers cover 90% of the population)"
+        f"({res['n_for_90pct']} conformer(s) cover 90% of the population)"
     )
 
     import json

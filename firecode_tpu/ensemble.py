@@ -113,6 +113,28 @@ class Ensemble:
         self.energies = self.energies[order]
         self.coords = self.coords[order]
 
+    def analysis(self, T: float = 298.15, group: bool = False) -> dict:
+        """Population analysis (Boltzmann populations, S_conf, G_conf) of
+        this ensemble — the cregen / CREST --entropy summary, natively.
+        With group=True, rotamer duplicates are collapsed first and their
+        multiplicities weight the unique conformers."""
+        from firecode_tpu.ensemble_thermo import (
+            ensemble_analysis,
+            rotamer_degeneracies,
+        )
+
+        if self.energies is None or len(self.energies) != len(self.coords):
+            raise ValueError("ensemble has no energies (read_energies=True?)")
+        if not group:
+            return ensemble_analysis(self.energies, T=T)
+        idx, deg = rotamer_degeneracies(
+            self.coords, self.atomnos, energies=self.energies
+        )
+        res = ensemble_analysis(self.energies[idx], T=T, degeneracies=deg)
+        res["conformer_indices"] = idx
+        res["degeneracies"] = deg
+        return res
+
     # ------------------------------------------------------------ pruning
 
     def dynamic_energy_thr(self, kcal_thr: float = 10.0, keep_min: float = 0.1) -> float:

@@ -72,6 +72,27 @@ def test_empty_and_single():
     assert res["g_conf_kcal"] == 5.0
 
 
+def test_ensemble_analysis_method():
+    # the Ensemble container's convenience entry point (library users)
+    from firecode_tpu.ensemble import Ensemble
+    from firecode_tpu.pt import symbols_from_atomnos
+    from firecode_tpu.sample_molecules import build_alkane
+
+    atomnos, coords = build_alkane(4)
+    ens = Ensemble(
+        atoms=symbols_from_atomnos(atomnos),
+        coords=np.stack([coords, coords + 0.01]),
+        energies=np.array([0.0, 1.0]),
+    )
+    res = ens.analysis(T=298.15)
+    assert res["n_conformers"] == 2
+    assert res["populations"][0] > res["populations"][1]
+    with pytest.raises(ValueError):
+        Ensemble(
+            atoms=symbols_from_atomnos(atomnos), coords=coords[None]
+        ).analysis()
+
+
 @pytest.mark.operator
 def test_entropy_operator_run(rundir):
     # butane anti+gauche rotamers through the driver: populations must favor
