@@ -902,7 +902,7 @@ def entropy_operator(
     if group:
         from firecode_tpu.ensemble_thermo import rotamer_degeneracies
 
-        idx, deg = rotamer_degeneracies(
+        idx, deg, g_group = rotamer_degeneracies(
             mol.coords, mol.atomnos, energies=g,
             rmsd_thr=min(embedder.options.rmsd, 0.25),
         )
@@ -910,7 +910,7 @@ def entropy_operator(
             f"    Rotamer grouping: {len(g)} structures -> {len(idx)} "
             f"unique conformers"
         )
-        g = g[idx]
+        g = g_group  # each group weighted by its lowest member (cregen-style)
 
     res = ensemble_analysis(g, T=embedder.options.T, degeneracies=deg)
     p = res["populations"]

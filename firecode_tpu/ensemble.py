@@ -50,7 +50,9 @@ class Ensemble:
         if read_energies:
             parsed = [parse_energy(c) for c in comments]
             if all(e is not None for e in parsed):
-                energies = np.array(parsed, dtype=np.float64)
+                # parse_energy normalizes comment-line energies to Hartree;
+                # the Ensemble contract (like read_energies()) is kcal/mol
+                energies = np.array(parsed, dtype=np.float64) * EH_TO_KCAL
         return cls(
             atoms=atoms,
             coords=coords,
@@ -69,7 +71,13 @@ class Ensemble:
         )
 
     def to_xyz(self, file: str | Path) -> None:
-        energies = self.energies if len(self.energies) == len(self.coords) else None
+        # write_xyz labels frame energies "Eh" — convert from the kcal/mol
+        # the container holds so from_xyz/read_energies round-trip exactly
+        energies = (
+            self.energies / EH_TO_KCAL
+            if len(self.energies) == len(self.coords)
+            else None
+        )
         write_xyz(file, self.atoms, self.coords, energies=energies, title=self.basename)
 
     def read_energies(self, verbose: bool = True) -> bool:
@@ -127,10 +135,10 @@ class Ensemble:
             raise ValueError("ensemble has no energies (read_energies=True?)")
         if not group:
             return ensemble_analysis(self.energies, T=T)
-        idx, deg = rotamer_degeneracies(
+        idx, deg, e_group = rotamer_degeneracies(
             self.coords, self.atomnos, energies=self.energies
         )
-        res = ensemble_analysis(self.energies[idx], T=T, degeneracies=deg)
+        res = ensemble_analysis(e_group, T=T, degeneracies=deg)
         res["conformer_indices"] = idx
         res["degeneracies"] = deg
         return res

@@ -43,6 +43,10 @@ def boltzmann_populations(
         if degeneracies is None
         else np.asarray(degeneracies, dtype=np.float64).ravel()
     )
+    if mult.size != g.size:
+        raise ValueError(
+            f"degeneracies length {mult.size} != number of energies {g.size}"
+        )
     w = mult * np.exp(-(g - g.min()) / (R_KCAL * T))
     return w / w.sum()
 
@@ -54,14 +58,19 @@ def rotamer_degeneracies(
     rmsd_thr: float = 0.25,
     max_dE: float = 0.5,
     max_perms: int = 60,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Group rotamer-duplicate structures: (kept indices, multiplicities).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Group rotamer-duplicate structures:
+    (kept indices, multiplicities, per-group minimum energies or None).
 
     cregen prints each conformer's rotamer degeneracy next to its
     population and feeds it into S_conf; here the groups come from the
     native rot-corr prune (greedy keep-first, so kept indices match
     prune_by_rmsd_rot_corr exactly), and every pruned structure is
-    assigned to its nearest keeper under the rotamer permutations."""
+    assigned to its nearest keeper under the rotamer permutations. Each
+    group's representative energy is the MINIMUM over its members (as
+    cregen represents a rotamer group by its lowest conformer), so grouped
+    G_conf/populations are not skewed by which member survived the greedy
+    keep-first order."""
     import jax.numpy as jnp
 
     from firecode_tpu.ops.rmsd import pairwise_rmsd
@@ -71,7 +80,8 @@ def rotamer_degeneracies(
     coords_np = np.asarray(coords)
     n = coords_np.shape[0]
     if n == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
+        e_empty = None if energies is None else np.zeros(0)
+        return np.zeros(0, dtype=np.int64), np.zeros(0), e_empty
     perms = rotamer_permutations(
         np.asarray(atomnos), coords_np[0], max_perms=max_perms
     )
@@ -87,14 +97,24 @@ def rotamer_degeneracies(
     kept_idx = np.flatnonzero(keep)
     out_idx = np.flatnonzero(~keep)
     deg = np.ones(kept_idx.size)
+    e_group = (
+        None
+        if energies is None
+        else np.asarray(energies, dtype=np.float64).ravel()[kept_idx].copy()
+    )
     if out_idx.size:
         a = jnp.asarray(coords_np[out_idx])
         bk = jnp.asarray(coords_np[kept_idx])
         best = np.asarray(pairwise_rmsd(a, bk))
         for p in np.asarray(perms, dtype=np.int64).reshape(-1, coords_np.shape[1]):
             best = np.minimum(best, np.asarray(pairwise_rmsd(a, bk[:, p, :])))
-        deg += np.bincount(np.argmin(best, axis=1), minlength=kept_idx.size)
-    return kept_idx, deg
+        assign = np.argmin(best, axis=1)
+        deg += np.bincount(assign, minlength=kept_idx.size)
+        if e_group is not None:
+            np.minimum.at(
+                e_group, assign, np.asarray(energies, dtype=np.float64).ravel()[out_idx]
+            )
+    return kept_idx, deg, e_group
 
 
 def ensemble_analysis(
@@ -108,14 +128,30 @@ def ensemble_analysis(
     G_conf / <G> (kcal/mol), plus occupancy bookkeeping matching cregen's
     ensemble summary."""
     g = np.asarray(g_kcal, dtype=np.float64).ravel()
-    p = boltzmann_populations(g, T=T, degeneracies=degeneracies)
-    if g.size == 0:
-        return {"n_conformers": 0, "populations": p}
     mult = (
         np.ones_like(g)
         if degeneracies is None
         else np.asarray(degeneracies, dtype=np.float64).ravel()
     )
+    if mult.size != g.size:
+        raise ValueError(
+            f"degeneracies length {mult.size} != number of energies {g.size}"
+        )
+    p = boltzmann_populations(g, T=T, degeneracies=degeneracies)
+    if g.size == 0:
+        # full key set so empty-ensemble callers never KeyError
+        return {
+            "n_conformers": 0,
+            "T": float(T),
+            "populations": p,
+            "s_conf_cal_mol_k": 0.0,
+            "minus_t_s_conf_kcal": 0.0,
+            "g_conf_kcal": float("nan"),
+            "g_avg_kcal": float("nan"),
+            "g_min_kcal": float("nan"),
+            "p_best": float("nan"),
+            "n_for_90pct": 0,
+        }
     g_rel = g - g.min()
     z = float(np.sum(mult * np.exp(-g_rel / (R_KCAL * T))))
     # -R sum p (ln p - ln g): entropy of the rotamer-expanded state space

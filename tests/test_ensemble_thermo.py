@@ -66,10 +66,48 @@ def test_gibbs_identity_and_invariances():
 
 
 def test_empty_and_single():
-    assert ensemble_analysis(np.array([]))["n_conformers"] == 0
-    res = ensemble_analysis(np.array([5.0]))
-    assert res["p_best"] == 1.0 and res["s_conf_cal_mol_k"] == 0.0
-    assert res["g_conf_kcal"] == 5.0
+    empty = ensemble_analysis(np.array([]))
+    assert empty["n_conformers"] == 0
+    # empty input returns the FULL key set (callers must never KeyError)
+    full = ensemble_analysis(np.array([5.0]))
+    assert set(empty) == set(full)
+    assert empty["s_conf_cal_mol_k"] == 0.0 and empty["n_for_90pct"] == 0
+    assert np.isnan(empty["g_conf_kcal"])
+    assert full["p_best"] == 1.0 and full["s_conf_cal_mol_k"] == 0.0
+    assert full["g_conf_kcal"] == 5.0
+
+
+def test_degeneracy_length_mismatch_raises():
+    with pytest.raises(ValueError, match="degeneracies length"):
+        ensemble_analysis(np.array([0.0, 1.0]), degeneracies=np.array([1.0]))
+    with pytest.raises(ValueError, match="degeneracies length"):
+        boltzmann_populations(np.array([0.0, 1.0]), degeneracies=np.array([1.0, 1.0, 2.0]))
+
+
+def test_from_xyz_energies_kcal_roundtrip(tmp_path):
+    # ADVICE r3 (medium): from_xyz stored Hartree while analysis()/the
+    # Ensemble contract use kcal/mol, inflating gaps ~627x. Both from_xyz
+    # and to_xyz now convert, so an Eh-commented file round-trips exactly.
+    from firecode_tpu.ensemble import Ensemble
+    from firecode_tpu.units import EH_TO_KCAL
+
+    path = tmp_path / "two.xyz"
+    e_h = np.array([-10.0, -10.0 + 1.0 / EH_TO_KCAL])  # 1 kcal/mol apart
+    path.write_text(
+        "".join(
+            f"1\n{e:.12f} Eh\nH 0.0 0.0 {i:.1f}\n" for i, e in enumerate(e_h)
+        )
+    )
+    ens = Ensemble.from_xyz(path, read_energies=True)
+    assert np.allclose(ens.energies, e_h * EH_TO_KCAL)
+    assert np.isclose(ens.rel_energies[1], 1.0)
+    res = ens.analysis(T=298.15)
+    # a 1 kcal/mol gap must NOT collapse the populations onto the minimum
+    assert 0.1 < res["populations"][1] < 0.5
+    out = tmp_path / "out.xyz"
+    ens.to_xyz(out)
+    again = Ensemble.from_xyz(out, read_energies=True)
+    assert np.allclose(again.energies, ens.energies, atol=1e-6)
 
 
 def test_ensemble_analysis_method():
@@ -142,9 +180,19 @@ def test_rotamer_degeneracies_groups_methyl_rotation():
         rotate_dihedral(jnp.asarray(anti), jnp.asarray([0, 1, 2, 3]), 120.0, bb_mask)
     )
     coords = np.stack([anti, methyl_rot, gauche])
-    kept, deg = rotamer_degeneracies(coords, atomnos)
+    kept, deg, e_group = rotamer_degeneracies(coords, atomnos)
     assert list(kept) == [0, 2]
     assert list(deg) == [2.0, 1.0]
+    assert e_group is None  # no energies passed
+
+    # with energies: each group's representative energy is the MINIMUM over
+    # its members (cregen represents a group by its lowest conformer), even
+    # when the greedy keep-first prune kept the higher-energy member
+    kept, deg, e_group = rotamer_degeneracies(
+        coords, atomnos, energies=np.array([0.3, 0.1, 1.0]), max_dE=1.0
+    )
+    assert list(kept) == [0, 2]
+    assert np.allclose(e_group, [0.1, 1.0])
 
 
 @pytest.mark.operator
