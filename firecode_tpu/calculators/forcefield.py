@@ -401,9 +401,17 @@ def pad_systems(
         atomnos[k, :m] = z
         coords[k, :m] = x
         mask[k, :m] = True
-        # spread dummies on a distant line, distinct per slot
+        # spread dummies on a distant HELIX, distinct per slot: no 3 dummy
+        # points are ever collinear, so padded dihedral/out-of-plane terms
+        # (which multiply by zero weights but still differentiate the
+        # geometry) can never hit the NaN gradient of a degenerate
+        # cross-product normalization
         for j in range(m, n):
-            coords[k, j] = (1000.0 + 5.0 * j, 1000.0 + 5.0 * k, 1000.0)
+            coords[k, j] = (
+                1000.0 + 5.0 * j,
+                1000.0 + 5.0 * k + 7.0 * np.sin(0.9 * j),
+                1000.0 + 7.0 * np.cos(0.9 * j),
+            )
     return atomnos, coords, mask
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from firecode_tpu.calculators.base import Calculator
+from firecode_tpu.calculators.base import BatchedCalculator, Calculator
 from firecode_tpu.calculators.gfnff.energy import (
     gfnff_charges,
     gfnff_energy,
@@ -24,17 +24,22 @@ from firecode_tpu.calculators.gfnff.params import GlobalParams, load_fitted
 from firecode_tpu.calculators.gfnff.topology import (
     GFNFFTopology,
     build_gfnff_topology,
+    build_stacked_gfnff_topology,
+    stacked_n_pad,
 )
 
 __all__ = [
     "GFNFF",
     "GFNFFTopology",
     "GlobalParams",
+    "StackedGFNFF",
     "build_gfnff_topology",
+    "build_stacked_gfnff_topology",
     "gfnff_charges",
     "gfnff_energy",
     "gfnff_energy_terms",
     "load_fitted",
+    "stacked_n_pad",
 ]
 
 
@@ -118,3 +123,100 @@ class GFNFF(Calculator):
         import jax.numpy as jnp
 
         return np.asarray(gfnff_charges(jnp.asarray(coords), self.topology))
+
+
+class StackedGFNFF(BatchedCalculator):
+    """GFN-FF over a batch of DIFFERENT molecules: lane b of a [S, N, 3]
+    coordinate batch is evaluated with lane b's own generated force field
+    (padded topology tables stacked along a leading system axis).
+
+    This makes mixed-size bucketed batching work for the DEFAULT calculator
+    (the reference optimizes multiple input files serially,
+    standalone_optimizer.py:513): build with the systems list, then feed
+    `padded_coords` / `atom_mask` to opt.fire.optimize_batch. The stateful
+    warm-EEQ fast path composes lane-wise exactly as in the single-molecule
+    GFNFF calculator."""
+
+    def __init__(
+        self,
+        systems,
+        charges=None,
+        n_pad: int | None = None,
+        params: GlobalParams | None = None,
+        eeq: str = "variational",
+    ):
+        if eeq not in ("variational", "topo"):
+            raise ValueError(f"eeq must be 'variational' or 'topo', got {eeq!r}")
+        from firecode_tpu.calculators.forcefield import pad_systems
+
+        n = stacked_n_pad(systems, n_pad)
+        self.topology = build_stacked_gfnff_topology(systems, charges, n_pad=n)
+        self.atomnos, self.padded_coords, self.atom_mask = pad_systems(
+            systems, n_pad=n
+        )
+        self.params = (params or load_fitted()).asdict()
+        self.eeq = eeq
+        super().__init__(name="gfnff-stacked" if eeq == "variational" else "gfnff-topo-stacked")
+        self.stateful = eeq == "variational"
+
+    # ---- stateless batched surface ----
+
+    def energy(self, coords):
+        import jax
+        import jax.numpy as jnp
+
+        p, eeq = self.params, self.eeq
+        return jax.vmap(lambda c, t: gfnff_energy(c, t, p, eeq=eeq))(
+            jnp.asarray(coords), self.topology
+        )
+
+    def energy_and_forces(self, coords):
+        import jax
+        import jax.numpy as jnp
+
+        p, eeq = self.params, self.eeq
+        e, g = jax.vmap(
+            jax.value_and_grad(lambda c, t: gfnff_energy(c, t, p, eeq=eeq))
+        )(jnp.asarray(coords), self.topology)
+        return e, -g
+
+    # ---- stateful warm-EEQ fast path (per-lane state, per-lane topology) --
+
+    def _lane_eeq_args(self, t, dt):
+        return (
+            t.chi.astype(dt), t.eta.astype(dt), t.eeq_alpha.astype(dt),
+            t.cnf.astype(dt), t.rcov.astype(dt), t.charge,
+        )
+
+    def init_state(self, coords):
+        if not self.stateful:
+            return ()
+        import jax
+        import jax.numpy as jnp
+
+        from firecode_tpu.calculators.gfnff.energy import eeq_warm_init
+
+        coords = jnp.asarray(coords)
+
+        def one(c, t):
+            return eeq_warm_init(c, *self._lane_eeq_args(t, c.dtype))
+
+        return jax.vmap(one)(coords, self.topology)
+
+    def energy_and_forces_state(self, coords, state):
+        if not self.stateful:
+            return super().energy_and_forces_state(coords, state)
+        import jax
+        import jax.numpy as jnp
+
+        from firecode_tpu.calculators.gfnff.energy import gfnff_energy_warm
+
+        p = self.params
+
+        def one(c, t, s):
+            return gfnff_energy_warm(c, t, p, s)
+
+        (e, s_new), g = jax.vmap(jax.value_and_grad(one, has_aux=True))(
+            jnp.asarray(coords), self.topology, state
+        )
+        return e, -g, s_new

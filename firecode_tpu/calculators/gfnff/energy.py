@@ -297,8 +297,12 @@ def gfnff_energy_terms(
         return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
 
     def bond_damp(r, r0):
-        # smoothly releases angle/torsion strain as a bond breaks
-        return 1.0 / (1.0 + jnp.exp(p["kt_damp"] * (r / (1.35 * r0) - 1.0) * 8.0))
+        # smoothly releases angle/torsion strain as a bond breaks.
+        # jax.nn.sigmoid, not 1/(1+exp(u)): padded terms in stacked batches
+        # evaluate this at r/r0 ~ 7 where exp(u) overflows f32 and the
+        # naive form's gradient goes inf/inf -> NaN (sigmoid's saturated
+        # gradient is exactly 0)
+        return jax.nn.sigmoid(-p["kt_damp"] * (r / (1.35 * r0) - 1.0) * 8.0)
 
     bond_r0, bond_d, bond_a = bond_params(top, p)
 
@@ -362,7 +366,7 @@ def gfnff_energy_terms(
         nrm = jnp.cross(p2 - p1, p3 - p1)
         nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
         h = jnp.sum((c - p1) * nrm, axis=-1)
-        terms["oop"] = jnp.sum(p["koop"] * h * h)
+        terms["oop"] = jnp.sum(p["koop"] * top.oop_f * h * h)
 
     # ---- pairwise: repulsion + dispersion ----
     diff = coords[:, None, :] - coords[None, :, :]
@@ -378,14 +382,20 @@ def gfnff_energy_terms(
         p["krep"] * rep_scale * top.rep_z / rm * jnp.exp(-top.rep_a * rm**1.5)
     )
     disp_r0 = p["a1"] * top.rvdw_sum + p["a2"]
-    r6 = r2m * r2m * r2m
+    # cap pair distances at 100 A inside the dispersion kernel: beyond that
+    # -C6/r^6 is < 1e-12 kcal/mol, but the BACKWARD pass squares r^6 and
+    # (10^19)^2 overflows f32 to inf -> 0*inf = NaN. Mixed-molecule stacked
+    # batches place padding dummies ~1700 A out (forcefield.pad_systems),
+    # which is exactly where the unclamped gradient poisoned every lane.
+    r2d = jnp.minimum(r2m, 1.0e4)
+    r6 = r2d * r2d * r2d
     r0_6 = disp_r0**6
     r0_8 = r0_6 * disp_r0 * disp_r0
     # 1-2/1-3 pairs are excluded from dispersion (standard FF convention):
     # with a fitted BJ radius, bonded-range -C6/r^6 slopes acted as a bond
     # compressor (every C-C relaxed ~0.05 A short of its anchored r0)
     edisp = -top.mask_nb * top.c6 * (
-        p["s6"] / (r6 + r0_6) + p["s8"] * disp_r0**2 / (r6 * r2m + r0_8)
+        p["s6"] / (r6 + r0_6) + p["s8"] * disp_r0**2 / (r6 * r2d + r0_8)
     )
     terms["rep"] = 0.5 * jnp.sum(erep)
     terms["disp"] = 0.5 * jnp.sum(edisp)

@@ -94,6 +94,7 @@ class GFNFFTopology(NamedTuple):
     tors_bond: jnp.ndarray  # i32[T, 3] bond indices (ij, jk, kl) for damping
     # out-of-plane (sp2 planarity)
     oop: jnp.ndarray  # i32[O, 4] center + 3 neighbors
+    oop_f: jnp.ndarray  # f[O] per-term weight (1 real, 0 padded lanes)
     # pairwise tables
     mask_13: jnp.ndarray  # f[N, N] 1 for 1-3 pairs
     mask_nb: jnp.ndarray  # f[N, N] 1 for >=1-4 / nonbonded pairs
@@ -450,6 +451,7 @@ def build_gfnff_topology(
         tors_paths=arr(t_paths),
         tors_bond=jnp.asarray(pad_idx(t_bond, 3)),
         oop=jnp.asarray(pad_idx(oop, 4)),
+        oop_f=arr(np.ones(len(oop))),
         mask_13=arr(mask_13),
         mask_nb=arr(mask_nb),
         mask_hb_pair=arr(mask_hb_pair),
@@ -465,3 +467,146 @@ def build_gfnff_topology(
         xb_f=arr(xb_f),
         q_topo=arr(q_topo),
     )
+
+
+# --------------------------------------------------------------------------
+# stacked (mixed-molecule) topologies
+# --------------------------------------------------------------------------
+
+# EEQ padding: dummy atoms must be spectators of the charge equilibration.
+# A huge hardness makes their diagonal dominate, chi/cnf = 0 kills their
+# electronegativity drive, and a tiny rcov zeroes their coordination-number
+# coupling. Each dummy still takes q = lam/diag (lam = the real system's
+# chemical potential, O(100) kcal/mol/e) at an energy cost of lam^2/(2 diag)
+# — which scales as 1/eta, so 1e8 eV pins the per-dummy energy leak at
+# ~3e-6 kcal/mol (1e4 eV measurably leaked 0.03 kcal/mol per dummy).
+# Jacobi preconditioning in the CG solve normalizes the inflated diagonal,
+# so conditioning is unaffected; the diagonal (2.3e9) is far inside f32
+# range.
+_EEQ_PAD_ETA = 1.0e8  # eV
+_EEQ_PAD_ALPHA = 1.0  # A (avoids 1/alpha singularities)
+_EEQ_PAD_RCOV = 0.05  # A
+
+
+def build_stacked_gfnff_topology(
+    systems: list,
+    charges: list | None = None,
+    n_pad: int | None = None,
+) -> GFNFFTopology:
+    """Per-molecule GFN-FF topologies padded to common shapes and stacked
+    with a leading system axis [S, ...] — one batched device program over
+    DIFFERENT molecules, each lane evaluated with its own generated force
+    field (the reference optimizes multiple input files serially,
+    standalone_optimizer.py:513).
+
+    Padded term slots carry ZERO weights (bond_sf / angle_f / tors_paths /
+    oop_f / hb_f / xb_f), and their index tuples point into each lane's
+    dummy-atom region — pad_systems places dummies on a distant helix, so
+    no padded dihedral/out-of-plane ever differentiates a degenerate
+    geometry. Always reserves >= 4 dummy slots per lane for those safe
+    index tuples; use with pad_systems(systems, n_pad=stacked_n_pad(...)).
+    """
+    sizes = [len(z) for z, _ in systems]
+    n = stacked_n_pad(systems, n_pad)
+    charges = list(charges) if charges is not None else [0] * len(systems)
+    tops = [
+        build_gfnff_topology(np.asarray(z), np.asarray(x), charge=c)
+        for (z, x), c in zip(systems, charges)
+    ]
+
+    def rows(attr):
+        return max(int(getattr(t, attr).shape[0]) for t in tops)
+
+    n_b, n_a, n_t = rows("bonds"), rows("angles"), rows("torsions")
+    n_o, n_h, n_x = rows("oop"), rows("hb"), rows("xb")
+
+    def pad_lane(t: GFNFFTopology, d0: int) -> GFNFFTopology:
+        # d0: first dummy slot of this lane (distinct helix positions)
+        def pad_i(a, nrows, safe):
+            a = np.asarray(a)
+            out = np.tile(np.asarray(safe, np.int32), (nrows, 1))
+            if len(a):
+                out[: len(a)] = a
+            return out
+
+        def pad_f(a, nrows, fill=0.0):
+            a = np.asarray(a)
+            out = np.full(nrows, fill, np.float64)
+            out[: len(a)] = a
+            return out
+
+        def pad_atom(a, fill=0.0):
+            a = np.asarray(a)
+            out = np.full(n, fill, np.float64)
+            out[: len(a)] = a
+            return out
+
+        def pad_nn(a):
+            a = np.asarray(a)
+            out = np.zeros((n, n))
+            out[: a.shape[0], : a.shape[1]] = a
+            return out
+
+        return GFNFFTopology(
+            atomnos=jnp.asarray(
+                np.concatenate(
+                    [np.asarray(t.atomnos), np.zeros(n - len(t.atomnos), np.int32)]
+                )
+            ),
+            charge=jnp.asarray(float(t.charge)),
+            chi=jnp.asarray(pad_atom(t.chi, 0.0)),
+            eta=jnp.asarray(pad_atom(t.eta, _EEQ_PAD_ETA)),
+            eeq_alpha=jnp.asarray(pad_atom(t.eeq_alpha, _EEQ_PAD_ALPHA)),
+            cnf=jnp.asarray(pad_atom(t.cnf, 0.0)),
+            rcov=jnp.asarray(pad_atom(t.rcov, _EEQ_PAD_RCOV)),
+            bonds=jnp.asarray(pad_i(t.bonds, n_b, [d0, d0 + 1])),
+            bonds_z=jnp.asarray(pad_i(t.bonds_z, n_b, [1, 1])),
+            bond_rs=jnp.asarray(pad_f(t.bond_rs, n_b, fill=1.0)),
+            bond_den=jnp.asarray(pad_f(t.bond_den, n_b)),
+            bond_bo=jnp.asarray(pad_f(t.bond_bo, n_b)),
+            bond_f=jnp.asarray(pad_f(t.bond_f, n_b)),
+            bond_sf=jnp.asarray(pad_f(t.bond_sf, n_b)),  # 0 -> zero Morse depth
+            bond_nsp=jnp.asarray(pad_f(t.bond_nsp, n_b)),
+            angles=jnp.asarray(pad_i(t.angles, n_a, [d0, d0 + 1, d0 + 2])),
+            angle_cos0=jnp.asarray(pad_f(t.angle_cos0, n_a)),
+            angle_lin=jnp.asarray(pad_f(t.angle_lin, n_a)),
+            angle_f=jnp.asarray(pad_f(t.angle_f, n_a)),  # 0 -> zero stiffness
+            angle_bond=jnp.asarray(pad_i(t.angle_bond, n_a, [0, 0])),
+            torsions=jnp.asarray(
+                pad_i(t.torsions, n_t, [d0, d0 + 1, d0 + 2, d0 + 3])
+            ),
+            tors_n=jnp.asarray(pad_f(t.tors_n, n_t, fill=3.0)),
+            tors_bo=jnp.asarray(pad_f(t.tors_bo, n_t)),
+            tors_paths=jnp.asarray(pad_f(t.tors_paths, n_t)),  # 0 -> zero k
+            tors_bond=jnp.asarray(pad_i(t.tors_bond, n_t, [0, 0, 0])),
+            oop=jnp.asarray(pad_i(t.oop, n_o, [d0, d0 + 1, d0 + 2, d0 + 3])),
+            oop_f=jnp.asarray(pad_f(t.oop_f, n_o)),  # 0 -> padded slots inert
+            mask_13=jnp.asarray(pad_nn(t.mask_13)),
+            mask_nb=jnp.asarray(pad_nn(t.mask_nb)),
+            mask_hb_pair=jnp.asarray(pad_nn(t.mask_hb_pair)),
+            rep_z=jnp.asarray(pad_nn(t.rep_z)),
+            rep_a=jnp.asarray(pad_nn(t.rep_a)),
+            c6=jnp.asarray(pad_nn(t.c6)),
+            rvdw_sum=jnp.asarray(pad_nn(t.rvdw_sum)),
+            disp_mask=jnp.asarray(pad_nn(t.disp_mask)),
+            hb=jnp.asarray(pad_i(t.hb, n_h, [d0, d0 + 1, d0 + 2])),
+            hb_f=jnp.asarray(pad_f(t.hb_f, n_h)),
+            hb_sp2=jnp.asarray(pad_f(t.hb_sp2, n_h)),
+            xb=jnp.asarray(pad_i(t.xb, n_x, [d0, d0 + 1, d0 + 2])),
+            xb_f=jnp.asarray(pad_f(t.xb_f, n_x)),
+            q_topo=jnp.asarray(pad_atom(t.q_topo, 0.0)),
+        )
+
+    padded = [pad_lane(t, d0) for t, d0 in zip(tops, sizes)]
+    return GFNFFTopology(
+        *[
+            jnp.stack([getattr(t, f) for t in padded])
+            for f in GFNFFTopology._fields
+        ]
+    )
+
+
+def stacked_n_pad(systems: list, n_pad: int | None = None) -> int:
+    """Common padded atom count for a stacked batch: max molecule size plus
+    >= 4 guard dummy slots (safe indices for padded geometric terms)."""
+    return max(int(n_pad or 0), max(len(z) for z, _ in systems) + 4)

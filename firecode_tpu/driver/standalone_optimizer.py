@@ -186,11 +186,13 @@ def main(argv: list[str] | None = None) -> None:
 
     # bucketed mixed-molecule batching (SURVEY section 7 hard-part 5): plain
     # OPT jobs over several files run as ONE device program — every
-    # (file, conformer) pair is a lane with its own padded LiteFF topology.
-    # The reference processes files serially (standalone_optimizer.py:513).
+    # (file, conformer) pair is a lane with its own padded topology. Works
+    # for the DEFAULT calculator (GFNFF, stacked generated force fields)
+    # and LITEFF. The reference processes files serially
+    # (standalone_optimizer.py:513).
     plain_opt = not (args.sp or args.saddle or args.freq or args.constraints)
-    if plain_opt and len(args.files) > 1 and calc_name == "LITEFF":
-        _bucketed_multifile_opt(args, rows)
+    if plain_opt and len(args.files) > 1 and calc_name in ("GFNFF", "LITEFF"):
+        _bucketed_multifile_opt(args, rows, calc_name)
         _print_rows(rows)
         return
 
@@ -280,13 +282,12 @@ def _print_rows(rows) -> None:
         print(f"{name:<20} {conf:>5} {job:>8} {e:>14.4f} {status:>9}")
 
 
-def _bucketed_multifile_opt(args, rows) -> None:
+def _bucketed_multifile_opt(args, rows, calc_name: str = "GFNFF") -> None:
     """All files' conformers as one mixed-size batched FIRE program."""
     import time
 
     import jax.numpy as jnp
 
-    from firecode_tpu.calculators.forcefield import StackedLiteFF, pad_systems
     from firecode_tpu.ensemble import Ensemble
     from firecode_tpu.io.xyz import write_xyz
     from firecode_tpu.opt import optimize_batch
@@ -294,15 +295,26 @@ def _bucketed_multifile_opt(args, rows) -> None:
     t0 = time.perf_counter()
     lanes = []  # (file stem, conformer index within file)
     systems = []
+    charges = []
     all_ens = []
     for filename in args.files:
         ens = Ensemble.from_xyz(filename)
         all_ens.append((Path(filename).stem, ens))
+        q = args.charge if args.charge is not None else charge_from_filename(filename)
         for c in range(len(ens.coords)):
             systems.append((np.asarray(ens.atomnos), np.asarray(ens.coords[c])))
+            charges.append(q)
             lanes.append((Path(filename).stem, c))
-    atomnos_p, coords_p, mask = pad_systems(systems)
-    calc = StackedLiteFF(systems)
+    if calc_name == "GFNFF":
+        from firecode_tpu.calculators.gfnff import StackedGFNFF
+
+        calc = StackedGFNFF(systems, charges=charges)
+        coords_p, mask = calc.padded_coords, calc.atom_mask
+    else:
+        from firecode_tpu.calculators.forcefield import StackedLiteFF, pad_systems
+
+        atomnos_p, coords_p, mask = pad_systems(systems)
+        calc = StackedLiteFF(systems, charges=charges)
     res = optimize_batch(
         calc, jnp.asarray(coords_p), fmax=args.fmax, max_steps=3000,
         atom_mask=jnp.asarray(mask),
