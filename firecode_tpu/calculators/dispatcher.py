@@ -42,8 +42,15 @@ class Dispatcher:
         graph=None,
         charge: int = 0,
         solvent: str | None = None,
+        charge_site=None,
+        site_charge_target: float | None = None,
     ) -> Calculator:
-        """Build a batched calculator for the given system."""
+        """Build a batched calculator for the given system.
+
+        charge_site / site_charge_target: ion-workflow charge-transfer
+        constraint (GFNFF only; see GFNFFTopology.site_b) — the pKa routine
+        passes the reacting functional group so net-charge delocalization
+        does not scale with molecule size."""
         if self.calculator in ("GFNFF", "GFNFF-TOPO"):
             from firecode_tpu.calculators.gfnff import GFNFF
 
@@ -52,11 +59,17 @@ class Dispatcher:
             calc = GFNFF(
                 atomnos, coords, graph=graph, charge=charge,
                 eeq="topo" if self.calculator == "GFNFF-TOPO" else "variational",
+                charge_site=charge_site,
+                site_charge_target=site_charge_target,
             )
             if solvent is not None:
                 from firecode_tpu.calculators.solvation import solvate
 
-                calc = solvate(calc, atomnos, solvent, total_charge=charge)
+                calc = solvate(
+                    calc, atomnos, solvent, total_charge=charge,
+                    charge_site=charge_site,
+                    site_charge_target=site_charge_target,
+                )
             return calc
         if self.calculator == "LITEFF":
             calc = LiteFF(atomnos, coords, graph=graph, charge=charge)

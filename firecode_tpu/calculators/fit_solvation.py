@@ -93,6 +93,146 @@ def run_fit(steps: int = 400, lr: float = 0.05, verbose: bool = True) -> dict:
     return {k: float(np.exp(theta[i])) for i, k in enumerate(keys)}
 
 
+def ion_cases():
+    """Relaxed ion geometries + (charge, site, target) for the ion anchors.
+
+    Built from the neutral fixtures via deprotonate/protonate with the
+    site-constrained GFNFF relax — the same conventions as
+    gfnff.accuracy.ion_class_deltas, so the solvation calibration sees
+    exactly the geometries/charges the pKa workflow produces."""
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.gfnff import GFNFF
+    from firecode_tpu.driver.pka import deprotonate, protonate
+    from firecode_tpu.graphs import graphize
+    from firecode_tpu.opt.fire import optimize_batch
+
+    def relax(z, x, charge=0, site=None, target=None):
+        calc = GFNFF(np.asarray(z), np.asarray(x), charge=charge,
+                     charge_site=site, site_charge_target=target)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.05,
+                             max_steps=2000)
+        return np.asarray(res.coords[0])
+
+    def dep(zx, h):
+        z, x = np.asarray(zx[0]), np.asarray(zx[1])
+        x0 = relax(z, x)
+        q0 = GFNFF(z, x0).charges(x0)
+        g = graphize(z, x0)
+        heavy = next(j for j in g.neighbors(h) if z[j] != 1)
+        za, xa = deprotonate(z, x0, h)
+        hn = heavy - (1 if h < heavy else 0)
+        tgt = float(q0[heavy] + q0[h] - 1.0)
+        return za, relax(za, xa, -1, site=[hn], target=tgt), -1, [hn], tgt
+
+    def prot(zx, heavy):
+        z, x = np.asarray(zx[0]), np.asarray(zx[1])
+        x0 = relax(z, x)
+        q0 = GFNFF(z, x0).charges(x0)
+        zp, xp = protonate(z, x0, heavy)
+        site = [heavy, len(zp) - 1]
+        tgt = float(q0[heavy] + 1.0)
+        return zp, relax(zp, xp, +1, site=site, target=tgt), +1, site, tgt
+
+    return {
+        "hydroxide": dep(fx.water(), 1),
+        "methoxide": dep(fx.methanol(), 2),
+        "formate": dep(fx.formic_acid(), 4),
+        "acetate": dep(fx.acetic_acid(), 3),
+        "ammonium": prot(fx.ammonia(), 0),
+        "methylammonium": prot(fx.methylamine(), 1),
+    }
+
+
+def ion_hydration_energies(p_ion: dict, cases=None) -> dict:
+    """dG_hyd per ion with the given ion-correction parameters."""
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.solvation import (
+        load_solv_params,
+        solvation_energy_fn,
+    )
+
+    cases = cases or ion_cases()
+    merged = {**load_solv_params(), **p_ion}
+    out = {}
+    for name, (z, x, charge, site, tgt) in cases.items():
+        fn = solvation_energy_fn(
+            z, "water", total_charge=charge, params=merged,
+            charge_site=site, site_charge_target=tgt,
+        )
+        out[name] = float(fn(jnp.asarray(x)))
+    return out
+
+
+def run_ion_fit(steps: int = 400, lr: float = 0.02, verbose: bool = True) -> dict:
+    """Fit the sign-split ion Born corrections (k_qr_an/hct_an,
+    k_qr_cat/hct_cat) against fixtures.ION_HYDRATION_TARGETS; the neutral
+    fit is untouched. Raw-space adam (k_qr_cat may legitimately be
+    negative — radius expansion); hct through a sigmoid onto (0, 1.2)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from firecode_tpu.calculators.solvation import (
+        DEFAULT_ION_PARAMS,
+        load_solv_params,
+        solvation_energy_fn,
+    )
+
+    cases = ion_cases()
+    base = load_solv_params()
+
+    def logit(h):
+        h = min(max(h / 1.2, 1e-3), 1 - 1e-3)
+        return float(np.log(h / (1 - h)))
+
+    theta = jnp.asarray([
+        DEFAULT_ION_PARAMS["k_qr_an"], logit(DEFAULT_ION_PARAMS["hct_an"]),
+        DEFAULT_ION_PARAMS["k_qr_cat"], logit(DEFAULT_ION_PARAMS["hct_cat"]),
+    ])
+
+    def unpack(theta):
+        return {
+            "k_qr_an": theta[0], "hct_an": 1.2 * jax.nn.sigmoid(theta[1]),
+            "k_qr_cat": theta[2], "hct_cat": 1.2 * jax.nn.sigmoid(theta[3]),
+        }
+
+    def loss(theta):
+        p = dict(base)
+        p.update(unpack(theta))
+        total = 0.0
+        for name, (z, x, charge, site, tgt_c) in cases.items():
+            tgt, tol = fx.ION_HYDRATION_TARGETS[name]
+            fn = solvation_energy_fn(
+                z, "water", total_charge=charge, params=p,
+                charge_site=site, site_charge_target=tgt_c,
+            )
+            total = total + ((fn(jnp.asarray(x)) - tgt) / tol) ** 2
+        return total
+
+    opt = optax.adam(lr)
+    state = opt.init(theta)
+    vg = jax.jit(jax.value_and_grad(loss))
+    for step in range(steps):
+        val, g = vg(theta)
+        upd, state = opt.update(g, state)
+        theta = optax.apply_updates(theta, upd)
+        if verbose and (step % 50 == 0 or step == steps - 1):
+            print(f"  ion step {step:4d}  loss {float(val):9.3f}", flush=True)
+    out = unpack(theta)
+    return {k: float(v) for k, v in out.items()}
+
+
+def write_ion_fit(params: dict) -> str:
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "solvation_ion_fit.npz"
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, **{k: np.float64(v) for k, v in params.items()})
+    return path
+
+
 def alpb_mad_by_solvent() -> dict:
     """Gated: per-solvent MAD vs the xtb binary's ALPB delta-solvation."""
     from firecode_tpu.calculators.dispatcher import xtb_available
@@ -137,7 +277,22 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--write", action="store_true")
+    ap.add_argument("--ions", action="store_true",
+                    help="fit only the ion corrections (k_qr, hct_ion)")
     args = ap.parse_args()
+
+    if args.ions:
+        print("anchoring ion Born corrections against KCT-2006 ion dG_hyd ...")
+        fitted = run_ion_fit(steps=args.steps)
+        print("\nfitted:", {k: round(v, 4) for k, v in fitted.items()})
+        es = ion_hydration_energies(fitted)
+        for name, e in es.items():
+            tgt, tol = fx.ION_HYDRATION_TARGETS[name]
+            mark = "ok " if abs(e - tgt) <= tol else "FAIL"
+            print(f"  [{mark}] {name:14s} {e:8.2f}  ({tgt} +- {tol})")
+        if args.write:
+            print("wrote", write_ion_fit(fitted))
+        return
 
     print("anchoring GB+SASA against experimental hydration energies ...")
     fitted = run_fit(steps=args.steps)

@@ -54,15 +54,24 @@ class GFNFF(Calculator):
         charge: int = 0,
         params: GlobalParams | None = None,
         eeq: str = "variational",
+        charge_site=None,
+        site_charge_target: float | None = None,
+        site_k: float | None = None,
     ):
         """eeq: "variational" (default) re-solves EEQ charges at every
         geometry (exact charge-flow forces); "topo" freezes the
         setup-geometry charges — the published GFN-FF convention and the
-        fast path for large-N optimization (no O(N^3) solve per step)."""
+        fast path for large-N optimization (no O(N^3) solve per step).
+
+        charge_site / site_charge_target: confine the net-charge transfer
+        to a functional group for quantitative ion energetics (pKa
+        workflows) — see GFNFFTopology.site_b."""
         if eeq not in ("variational", "topo"):
             raise ValueError(f"eeq must be 'variational' or 'topo', got {eeq!r}")
         self.topology = build_gfnff_topology(
-            atomnos, coords, graph=graph, charge=charge
+            atomnos, coords, graph=graph, charge=charge,
+            charge_site=charge_site, site_charge_target=site_charge_target,
+            site_k=site_k,
         )
         self.params = (params or load_fitted()).asdict()
         self.eeq = eeq
@@ -95,7 +104,10 @@ class GFNFF(Calculator):
 
         coords = jnp.asarray(coords)
         args = self._eeq_args(coords.dtype)
-        fn = lambda c: eeq_warm_init(c, *args)
+        top = self.topology
+        fn = lambda c: eeq_warm_init(
+            c, *args, site_b=top.site_b, site_c=top.site_c, site_k=top.site_k
+        )
         for _ in range(coords.ndim - 2):
             fn = jax.vmap(fn)
         return fn(coords)
@@ -199,7 +211,10 @@ class StackedGFNFF(BatchedCalculator):
         coords = jnp.asarray(coords)
 
         def one(c, t):
-            return eeq_warm_init(c, *self._lane_eeq_args(t, c.dtype))
+            return eeq_warm_init(
+                c, *self._lane_eeq_args(t, c.dtype),
+                site_b=t.site_b, site_c=t.site_c, site_k=t.site_k,
+            )
 
         return jax.vmap(one)(coords, self.topology)
 

@@ -56,8 +56,18 @@ def coordination_numbers(coords: jnp.ndarray, rcov: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(cnt, axis=1)
 
 
-def _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge):
-    """Build the EEQ KKT matrix/rhs for one structure (kcal/mol units)."""
+def _eeq_system(
+    coords, chi, eta, alpha, cnf, rcov, charge,
+    site_b=None, site_c=0.0, site_k=0.0,
+):
+    """Build the EEQ KKT matrix/rhs for one structure (kcal/mol units).
+
+    site_b/site_c/site_k: optional site-constrained charge-transfer penalty
+    (site_k/2)(site_b . q - site_c)^2 — the ion-energetics fix (see
+    GFNFFTopology.site_b). Folding it here keeps every solve path (direct,
+    variational CG, warm PCG) consistent: the penalty is a rank-1 SPD
+    update of A plus a shift of chi_eff, and callers add the constant
+    (site_k/2) site_c^2 to the energy."""
     n = coords.shape[0]
     diff = coords[:, None, :] - coords[None, :, :]
     r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
@@ -72,7 +82,19 @@ def _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge):
     a = jnp.where(jnp.eye(n, dtype=bool), 0.0, j_off) + jnp.diag(diag)
     cn = coordination_numbers(coords, rcov)
     chi_eff = (chi + cnf * jnp.sqrt(cn + 1e-12)) * EV_TO_KCAL
+    if site_b is not None:
+        b = site_b.astype(a.dtype)
+        a = a + site_k * b[:, None] * b[None, :]
+        chi_eff = chi_eff - site_k * site_c * b
     return a, chi_eff
+
+
+def _site_const(site_b, site_c, site_k, dtype):
+    """The energy constant (site_k/2) site_c^2 completed by _eeq_system's
+    chi shift — per-system, so it matters for species-to-species deltas."""
+    if site_b is None:
+        return jnp.asarray(0.0, dtype)
+    return jnp.asarray(0.5, dtype) * site_k * site_c * site_c
 
 
 # fixed CG iteration counts for the EEQ solve: the Jacobi-preconditioned EEQ
@@ -149,7 +171,10 @@ def _eeq_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return lax.custom_linear_solve(matvec, b, solve, symmetric=True)
 
 
-def eeq_energy_and_charges(coords, chi, eta, alpha, cnf, rcov, charge):
+def eeq_energy_and_charges(
+    coords, chi, eta, alpha, cnf, rcov, charge,
+    site_b=None, site_c=0.0, site_k=0.0,
+):
     """Variational EEQ electrostatic energy (kcal/mol) + charges [N].
 
     The total-charge constraint is eliminated by the Schur complement
@@ -160,24 +185,31 @@ def eeq_energy_and_charges(coords, chi, eta, alpha, cnf, rcov, charge):
     — ~2x cheaper than LU on the bordered (and indefinite) matrix, and
     exactly the same minimizer. The solve itself is MXU-friendly CG (see
     _eeq_solve)."""
-    a, chi_eff = _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge)
+    a, chi_eff = _eeq_system(
+        coords, chi, eta, alpha, cnf, rcov, charge, site_b, site_c, site_k
+    )
     s = _eeq_solve(a, jnp.stack([-chi_eff, jnp.ones_like(chi_eff)], axis=-1))
     s1, s2 = s[:, 0], s[:, 1]
     lam = (charge - jnp.sum(s1)) / jnp.sum(s2)
     q = s1 + lam * s2
     e = jnp.sum(chi_eff * q) + 0.5 * q @ (a @ q)
-    return e, q
+    return e + _site_const(site_b, site_c, site_k, e.dtype), q
 
 
 def _eeq_rhs(chi_eff):
     return jnp.stack([-chi_eff, jnp.ones_like(chi_eff)], axis=-1)
 
 
-def eeq_warm_init(coords, chi, eta, alpha, cnf, rcov, charge):
+def eeq_warm_init(
+    coords, chi, eta, alpha, cnf, rcov, charge,
+    site_b=None, site_c=0.0, site_k=0.0,
+):
     """Cold-start EEQ warm state s[N, 2]: full-precision PCG from the
     diagonal guess. Gradient-free (stop_gradient) — the state is an
     optimizer carry, not a differentiable quantity."""
-    a, chi_eff = _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge)
+    a, chi_eff = _eeq_system(
+        coords, chi, eta, alpha, cnf, rcov, charge, site_b, site_c, site_k
+    )
     b = _eeq_rhs(chi_eff)
     dinv = (1.0 / jnp.diagonal(a))[:, None]
     s = _pcg_refine(a, b, dinv * b, _dtype_cg_iters(a.dtype))
@@ -187,6 +219,7 @@ def eeq_warm_init(coords, chi, eta, alpha, cnf, rcov, charge):
 def eeq_energy_charges_warm(
     coords, chi, eta, alpha, cnf, rcov, charge, s_prev,
     iters: int = _EEQ_WARM_ITERS,
+    site_b=None, site_c=0.0, site_k=0.0,
 ):
     """EEQ energy with a warm-started, gradient-detached charge solve —
     the optimizer fast path (see GFNFF.energy_and_forces_state).
@@ -212,7 +245,9 @@ def eeq_energy_charges_warm(
     EEQ matvecs per optimization step, on the term that dominates the
     GFN-FF step cost. Not valid for Hessians/frequencies (those need the
     dq/dx response — use the variational path)."""
-    a, chi_eff = _eeq_system(coords, chi, eta, alpha, cnf, rcov, charge)
+    a, chi_eff = _eeq_system(
+        coords, chi, eta, alpha, cnf, rcov, charge, site_b, site_c, site_k
+    )
     s = _pcg_refine(
         lax.stop_gradient(a),
         lax.stop_gradient(_eeq_rhs(chi_eff)),
@@ -224,15 +259,20 @@ def eeq_energy_charges_warm(
     lam = (charge - jnp.sum(s1)) / jnp.sum(s2)
     q = s1 + lam * s2
     e = jnp.sum(chi_eff * q) + 0.5 * q @ (a @ q)
-    return e, q, s
+    return e + _site_const(site_b, site_c, site_k, e.dtype), q, s
 
 
-def eeq_charges_np(coords, atomnos, charge, chi, eta, alpha, cnf, rcov) -> np.ndarray:
+def eeq_charges_np(
+    coords, atomnos, charge, chi, eta, alpha, cnf, rcov,
+    site_b=None, site_c=0.0, site_k=0.0,
+) -> np.ndarray:
     """Host (setup-time) EEQ charges — used for HB strength generation."""
     del atomnos
     _, q = eeq_energy_and_charges(
         jnp.asarray(coords), jnp.asarray(chi), jnp.asarray(eta),
         jnp.asarray(alpha), jnp.asarray(cnf), jnp.asarray(rcov), float(charge),
+        site_b=None if site_b is None else jnp.asarray(site_b),
+        site_c=site_c, site_k=site_k,
     )
     return np.asarray(q)
 
@@ -419,6 +459,7 @@ def gfnff_energy_terms(
             coords,
             top.chi.astype(dt), top.eta.astype(dt), top.eeq_alpha.astype(dt),
             top.cnf.astype(dt), top.rcov.astype(dt), top.charge,
+            site_b=top.site_b, site_c=top.site_c, site_k=top.site_k,
         )
     terms["es"] = p["es_scale"] * e_es
 
@@ -485,6 +526,7 @@ def gfnff_energy_warm(
         top.chi.astype(dt), top.eta.astype(dt), top.eeq_alpha.astype(dt),
         top.cnf.astype(dt), top.rcov.astype(dt), top.charge,
         s_prev, iters,
+        site_b=top.site_b, site_c=top.site_c, site_k=top.site_k,
     )
     return sum(terms.values()) + p["es_scale"] * e_es, s_new
 
@@ -502,5 +544,6 @@ def gfnff_charges(coords: jnp.ndarray, top) -> jnp.ndarray:
         coords, top.chi.astype(coords.dtype), top.eta.astype(coords.dtype),
         top.eeq_alpha.astype(coords.dtype), top.cnf.astype(coords.dtype),
         top.rcov.astype(coords.dtype), top.charge,
+        site_b=top.site_b, site_c=top.site_c, site_k=top.site_k,
     )
     return q

@@ -302,3 +302,16 @@ def load_fitted() -> GlobalParams:
         with np.load(path) as z:
             return GlobalParams.fromdict({k: z[k] for k in z.files})
     return GlobalParams()
+
+
+# Site-constrained charge-transfer stiffness (kcal/mol/e^2) for ion
+# workflows (GFNFFTopology.site_b): the soft penalty interpolates between
+# free atom-space EEQ (k=0, molecular capacitance grows with size ->
+# larger ions overstabilized by tens of kcal/mol) and fully frozen
+# inter-group transfer (k -> inf). Fitted by 1-D scan against the
+# gas-phase ion fixtures (fixtures.ION_DIAGNOSTICS ddep/dpa class deltas,
+# full relaxed calc; scripts/fit_kct.py): MAD over the 5 deltas was
+# 25.2 (k=0) / 6.9 (500) / 3.0 (900) / 3.7 (1300) / 4.2 (1800) kcal/mol
+# — a clear interior minimum at k ~ 900, where every within-class delta
+# lands inside +-3 kcal/mol of experiment.
+K_CT = 900.0

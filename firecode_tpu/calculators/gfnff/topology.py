@@ -115,6 +115,20 @@ class GFNFFTopology(NamedTuple):
     xb: jnp.ndarray  # i32[X, 3] C, X, acceptor
     xb_f: jnp.ndarray  # f[X]
     q_topo: jnp.ndarray  # f[N] setup-geometry EEQ charges (diagnostic/HB)
+    # site-constrained charge transfer (ion energetics): a soft penalty
+    # (site_k/2) * (sum(site_b * q) - site_c)^2 added to the EEQ objective.
+    # Plain atom-space EEQ lets a net ion charge spread over the whole
+    # molecule, so the molecular "capacitance" grows with atom count and
+    # larger ions are overstabilized (the round-3 ddep errors of up to
+    # ~50 kcal/mol). Restricting inter-group charge transfer between the
+    # reacting functional group (site_b = 1 there) and the remainder kills
+    # the size artifact while both regions still polarize internally; the
+    # penalty is a rank-1 SPD update of the EEQ matrix, so the solve stays
+    # CG + variational (exact Hellmann-Feynman forces). site_k = 0 (the
+    # default, every neutral workflow) is EXACTLY the unconstrained model.
+    site_b: jnp.ndarray  # f[N] membership of the constrained group
+    site_c: float  # target net charge of the group
+    site_k: float  # penalty stiffness (kcal/mol/e^2); 0 = off
 
 
 def _hybridization(graph, atomnos, coords) -> np.ndarray:
@@ -238,13 +252,39 @@ def build_gfnff_topology(
     coords: np.ndarray,
     graph=None,
     charge: int = 0,
+    charge_site=None,
+    site_charge_target: float | None = None,
+    site_k: float | None = None,
 ) -> GFNFFTopology:
-    """Generate the (structural) force-field topology for one system."""
+    """Generate the (structural) force-field topology for one system.
+
+    charge_site: optional atom indices (or bool mask) of the functional
+    group holding the net-charge constraint (ion workflows; see the
+    GFNFFTopology.site_b docs). site_charge_target: the group's target net
+    charge (e.g. neutral-parent group charge - 1 for a deprotonation).
+    site_k: penalty stiffness; defaults to params.K_CT (fitted against the
+    ion fixtures) when a site is given."""
     atomnos = np.asarray(atomnos)
     coords = np.asarray(coords, dtype=np.float64)
     n = len(atomnos)
     if graph is None:
         graph = graphize(atomnos, coords)
+
+    site_b = np.zeros(n)
+    site_c = 0.0
+    k_ct = 0.0
+    if charge_site is not None:
+        from firecode_tpu.calculators.gfnff.params import K_CT
+
+        charge_site = np.asarray(charge_site)
+        if charge_site.dtype == bool:
+            site_b[charge_site] = 1.0
+        else:
+            site_b[charge_site.astype(int)] = 1.0
+        if site_charge_target is None:
+            raise ValueError("charge_site requires site_charge_target")
+        site_c = float(site_charge_target)
+        k_ct = float(site_k) if site_k is not None else K_CT
 
     hyb = _hybridization(graph, atomnos, coords)
     en = EN_PAULING[atomnos]
@@ -361,6 +401,7 @@ def build_gfnff_topology(
         coords, atomnos, float(charge),
         CHI[atomnos], ETA[atomnos], EEQ_ALPHA[atomnos], EEQ_CNF[atomnos],
         COVALENT_RADII[atomnos],
+        site_b=site_b if k_ct else None, site_c=site_c, site_k=k_ct,
     )
 
     # ---------------- HB / XB triplets ----------------
@@ -466,6 +507,9 @@ def build_gfnff_topology(
         xb=jnp.asarray(pad_idx(xb, 3)),
         xb_f=arr(xb_f),
         q_topo=arr(q_topo),
+        site_b=arr(site_b),
+        site_c=site_c,
+        site_k=k_ct,
     )
 
 
@@ -595,6 +639,9 @@ def build_stacked_gfnff_topology(
             xb=jnp.asarray(pad_i(t.xb, n_x, [d0, d0 + 1, d0 + 2])),
             xb_f=jnp.asarray(pad_f(t.xb_f, n_x)),
             q_topo=jnp.asarray(pad_atom(t.q_topo, 0.0)),
+            site_b=jnp.asarray(pad_atom(t.site_b, 0.0)),
+            site_c=jnp.asarray(float(t.site_c)),
+            site_k=jnp.asarray(float(t.site_k)),
         )
 
     padded = [pad_lane(t, d0) for t, d0 in zip(tops, sizes)]

@@ -79,6 +79,39 @@ DEFAULT_SOLV_PARAMS: dict = {
     "rho_O": 1.0,
 }
 
+# Ion-only Born corrections, ACTIVE ONLY for |total_charge| > 0.5 so the
+# committed neutral-anchored fit is untouched (fit_solvation.run_ion_fit,
+# anchored on fixtures.ION_HYDRATION_TARGETS), split by ion SIGN — the
+# grid scan showed one global pair cannot serve both families:
+# - k_qr_*: electrostriction — an atom carrying charge q has its Born
+#   radius scaled by (1 - k_qr |q|); the tight first solvation shell of an
+#   ion is what the neutral-calibrated radii miss (~15-25 kcal/mol too
+#   weak for anions). May be NEGATIVE (expansion) for cations, whose N-H
+#   protons are already well-exposed.
+# - hct_*: descreening factor for charged species; the neutral hct
+#   over-descreens an anionic center buried by alkyl substituents
+#   (acetate came out 7 kcal/mol LESS solvated than formate where
+#   experiment has them within ~1), so anions want it LOW.
+DEFAULT_ION_PARAMS: dict = {
+    "k_qr_an": 0.28,
+    "hct_an": 0.45,
+    "k_qr_cat": 0.0,
+    "hct_cat": 0.45,
+}
+
+
+def load_ion_params() -> dict:
+    """Committed ion-anchored fit if present, else defaults."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "solvation_ion_fit.npz"
+    )
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return {k: float(z[k]) for k in z.files}
+    return dict(DEFAULT_ION_PARAMS)
+
 
 def load_solv_params() -> dict:
     """Committed hydration-anchored fit if present, else defaults."""
@@ -92,13 +125,20 @@ def load_solv_params() -> dict:
 
 
 def qeq_charges(
-    coords: jnp.ndarray, chi: jnp.ndarray, eta: jnp.ndarray, total_charge: float
+    coords: jnp.ndarray, chi: jnp.ndarray, eta: jnp.ndarray, total_charge: float,
+    site_b=None, site_c: float = 0.0, site_k: float = 0.0,
 ) -> jnp.ndarray:
     """Electronegativity-equalization charges for one structure [N, 3] -> [N].
 
     Solves the KKT system of min_q sum(chi q + 0.5 eta q^2) + coulomb cross
     terms s.t. sum(q) = Q. Off-diagonal interaction uses the Ohno-damped
     kernel so it stays finite at bonding distances.
+
+    site_b/site_c/site_k: the same site-constrained charge-transfer penalty
+    the GFN-FF EEQ uses for ions (GFNFFTopology.site_b) — without it the
+    solvation charges of an anion overdelocalize exactly like the gas-phase
+    ones, inflating Born radii differences between homologs (acetate vs
+    formate GB differed by ~13 kcal/mol where experiment has ~1).
     """
     from firecode_tpu.calculators.gfnff.energy import _eeq_solve
 
@@ -109,6 +149,10 @@ def qeq_charges(
     gamma_len = COULOMB / (0.5 * (eta[:, None] + eta[None, :]) * EV_TO_KCAL)
     j_off = COULOMB / jnp.sqrt(r2 + gamma_len**2)
     a = j_off * (1.0 - jnp.eye(n)) + jnp.diag(eta * EV_TO_KCAL)
+    if site_b is not None:
+        b = site_b.astype(a.dtype)
+        a = a + site_k * b[:, None] * b[None, :]
+        chi = chi - site_k * site_c * b / EV_TO_KCAL  # chi is still in eV here
     # A is SPD (Ohno-damped Coulomb + hardness diagonal): eliminate the
     # total-charge constraint by the Schur complement and solve the two
     # right-hand sides with the same MXU-friendly CG the GFN-FF EEQ uses —
@@ -174,12 +218,17 @@ def sasa_energy(
 
 
 def solvation_energy_fn(
-    atomnos: np.ndarray, solvent: str, total_charge: float = 0.0, params: dict | None = None
+    atomnos: np.ndarray, solvent: str, total_charge: float = 0.0,
+    params: dict | None = None,
+    charge_site=None, site_charge_target: float | None = None,
+    site_k: float | None = None,
 ):
     """Pure per-structure Delta-G_solv(coords [N,3]) for the given solvent.
 
     params: GB+SASA model parameters (defaults to the committed
-    hydration-anchored fit, see load_solv_params)."""
+    hydration-anchored fit, see load_solv_params). charge_site /
+    site_charge_target: ion-workflow charge-transfer constraint on the QEq
+    charges (see qeq_charges)."""
     epsilon = get_epsilon(solvent)
     p = params or load_solv_params()
     z = np.asarray(atomnos)
@@ -187,6 +236,26 @@ def solvation_energy_fn(
     eta = jnp.asarray(ETA[z])
     rho = jnp.asarray(BORN_RHO[z])
     elem_keys = {1: "rho_H", 6: "rho_C", 7: "rho_N", 8: "rho_O"}
+    site_b = None
+    site_c = 0.0
+    k_ct = 0.0
+    if charge_site is not None:
+        from firecode_tpu.calculators.gfnff.params import K_CT
+
+        sb = np.zeros(len(z))
+        cs = np.asarray(charge_site)
+        if cs.dtype == bool:
+            sb[cs] = 1.0
+        else:
+            sb[cs.astype(int)] = 1.0
+        site_b = jnp.asarray(sb)
+        site_c = float(site_charge_target)
+        k_ct = float(site_k) if site_k is not None else K_CT
+
+    is_ion = abs(float(total_charge)) > 0.5
+    p_ion = dict(load_ion_params())
+    if params is not None:
+        p_ion.update({k: params[k] for k in p_ion if k in params})
 
     def energy(coords: jnp.ndarray) -> jnp.ndarray:
         chi_ = chi.astype(coords.dtype)
@@ -197,9 +266,20 @@ def solvation_energy_fn(
             for zz in z
         ]).astype(coords.dtype)
         rho_ = rho.astype(coords.dtype) * p["rho_scale"] * elem
-        q = qeq_charges(coords, chi_, eta_, total_charge)
+        q = qeq_charges(
+            coords, chi_, eta_, total_charge,
+            site_b=site_b, site_c=site_c, site_k=k_ct,
+        )
+        hct = p["hct"]
+        if is_ion:
+            # charge-dependent electrostriction + adjusted descreening by
+            # ion sign (see DEFAULT_ION_PARAMS); inert for neutral species
+            tag = "an" if float(total_charge) < 0 else "cat"
+            shrink = jnp.clip(p_ion[f"k_qr_{tag}"] * jnp.abs(q), -0.5, 0.6)
+            rho_ = rho_ * (1.0 - shrink)
+            hct = p_ion[f"hct_{tag}"]
         return p["polar_scale"] * gb_polar_energy(
-            coords, q, rho_, epsilon, p["hct"]
+            coords, q, rho_, epsilon, hct
         ) + sasa_energy(coords, rho_, p["gamma"])
 
     return energy
@@ -210,10 +290,15 @@ def solvate(
     atomnos: np.ndarray,
     solvent: str,
     total_charge: float = 0.0,
+    charge_site=None,
+    site_charge_target: float | None = None,
 ) -> Calculator:
     """Compose a gas-phase calculator with the implicit-solvation term."""
     return calc.with_extra(
-        solvation_energy_fn(atomnos, solvent, total_charge),
+        solvation_energy_fn(
+            atomnos, solvent, total_charge,
+            charge_site=charge_site, site_charge_target=site_charge_target,
+        ),
         name=f"{calc.name}/{solvent}",
     )
 

@@ -1567,6 +1567,23 @@ class RunEmbedding:
                 pka = ddg / (np.log(10) * R_KCAL * self.options.T) + ref_value
                 self.log(f"    {mol.basename}: pKa = {pka:.2f}")
 
+        # acid + base pair: equilibrium constant of HA + B -> BH+ + A-
+        # (reference embedder.py:2941-2955); the proton cancels in the sum
+        # of the two stored half-reaction dGs
+        with_data = [
+            m for m in self.objects if getattr(m, "pka_data", None) is not None
+        ]
+        if len(with_data) == 2:
+            tags = (with_data[0].pka_data[0], with_data[1].pka_data[0])
+            if "HA -> A-" in tags and "B -> BH+" in tags:
+                dg_eq = with_data[0].pka_data[1] + with_data[1].pka_data[1]
+                k_eq = float(np.exp(-dg_eq / (R_KCAL * self.options.T)))
+                self.log("\n    Equilibrium data:")
+                self.log(
+                    f"    HA + B -> BH+ + A-    K({self.options.T:.2f} K) "
+                    f"= {k_eq:.3g}    dG = {dg_eq:.3f} kcal/mol"
+                )
+
     def scan_termination(self) -> None:
         import matplotlib
 

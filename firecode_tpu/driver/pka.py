@@ -8,13 +8,14 @@ embedder prints pKa vs the reference compound at termination
 (firecode/embedder.py:2887-2955).
 
 Calculator guidance: pKa is computed RELATIVE to a reference compound, so
-systematic offsets cancel — but only within the same functional-group
-class. At the CALC=GFNFF tier the EEQ net-charge constraint gives correct
-cross-class acidity orderings and amine-basicity orderings, while
-methyl-substitution effects on ions are inflated severalfold (EEQ
-overpolarization; measured in fixtures.ION_DIAGNOSTICS / ACCURACY.json).
-For quantitative pKa use CALC=XTB (external hatch) or an MLIP, like the
-reference does (firecode/pka.py runs on its ase calculators).
+systematic offsets cancel. At the CALC=GFNFF tier the ions are evaluated
+with the site-constrained EEQ (GFNFFTopology.site_b: the net charge is
+softly confined to the reacting functional group, killing the
+molecule-size charge-delocalization artifact that inflated round-3's
+within-class deltas severalfold) — the ion class deltas are anchored in
+fixtures.ION_DIAGNOSTICS / ACCURACY.json to a few kcal/mol. CALC=XTB
+(external hatch) and MLIPs remain available, like the reference's ase
+calculators (firecode/pka.py).
 """
 
 from __future__ import annotations
@@ -25,14 +26,17 @@ from firecode_tpu.errors import InputError
 from firecode_tpu.graphs import graphize
 
 
-def _best_free_energy(embedder, atomnos, coords, charge) -> float:
+def _best_free_energy(
+    embedder, atomnos, coords, charge, charge_site=None, site_target=None
+) -> float:
     """Optimize a small ensemble and return the best G (kcal/mol)."""
     from firecode_tpu.opt import optimize_batch
     from firecode_tpu.prune import prune_by_rmsd
     from firecode_tpu.thermo import get_free_energies
 
     calc = embedder.dispatcher.get_batch_calc(
-        atomnos, coords[0], charge=charge, solvent=embedder.options.solvent
+        atomnos, coords[0], charge=charge, solvent=embedder.options.solvent,
+        charge_site=charge_site, site_charge_target=site_target,
     )
     res = optimize_batch(calc, coords, fmax=0.05, max_steps=2000)
     opt = np.asarray(res.coords, dtype=np.float64)
@@ -68,8 +72,11 @@ def get_anions(atomnos, conformers, index: int):
     removed from EVERY input conformer (reference firecode/pka.py:41-91
     _get_anions). Removing H's at different positions leaves different
     element ORDERINGS, so candidates are grouped by their resulting atomnos
-    sequence: returns a list of (anion_atomnos, coords [n, N-1, 3]) groups,
-    each internally consistent for batching."""
+    sequence (plus the shifted heavy-site index): returns a list of
+    (anion_atomnos, coords [n, N-1, 3], site_idx, removed_h_indices)
+    groups, each internally consistent for batching; site_idx is the
+    deprotonated heavy atom in the ANION numbering (the charge-constraint
+    site for the GFNFF tier)."""
     conformers = np.asarray(conformers).reshape(-1, len(atomnos), 3)
     graph = graphize(atomnos, conformers[0])
     if atomnos[index] == 1:
@@ -78,17 +85,26 @@ def get_anions(atomnos, conformers, index: int):
         h_ids = [n for n in graph.neighbors(index) if atomnos[n] == 1]
     if not h_ids:
         raise InputError(f"No H to remove at/near index {index}")
+    heavy = index if atomnos[index] != 1 else next(
+        n for n in graph.neighbors(index) if atomnos[n] != 1
+    )
     groups: dict[tuple, list] = {}
     z_by_key: dict[tuple, np.ndarray] = {}
+    h_by_key: dict[tuple, list] = {}
     for h in h_ids:
         mask = np.ones(len(atomnos), dtype=bool)
         mask[h] = False
         z_h = atomnos[mask]
-        key = tuple(int(z) for z in z_h)
+        heavy_new = heavy - (1 if h < heavy else 0)
+        # the shifted heavy-site index is part of the grouping key: frames
+        # in one batch share one topology, so they must share the site
+        key = (heavy_new, *(int(z) for z in z_h))
         z_by_key[key] = z_h
+        h_by_key[key] = h_by_key.get(key, []) + [h]
         groups.setdefault(key, []).append(conformers[:, mask])
     return [
-        (z_by_key[key], np.concatenate(frames)) for key, frames in groups.items()
+        (z_by_key[key], np.concatenate(frames), key[0], h_by_key[key])
+        for key, frames in groups.items()
     ]
 
 
@@ -155,10 +171,10 @@ def pka_routine(filename: str, embedder) -> None:
         raise InputError("pka> needs exactly one reactive index on the molecule")
     index = int(mol.reactive_indices[0])
 
-    graph = mol.graph
-    is_acid = mol.atomnos[index] == 1 or any(
-        mol.atomnos[n] == 1 for n in graph.neighbors(index)
-    )
+    # reference semantics (firecode/pka.py:235): an H AT the reactive index
+    # means acid (remove that proton); any heavy atom means base (protonate
+    # it) — an amine N with H neighbors is a BASE, not an acid
+    is_acid = mol.atomnos[index] == 1
 
     embedder.log(
         f"    pKa routine on {mol.basename}: index {index} -> "
@@ -167,20 +183,49 @@ def pka_routine(filename: str, embedder) -> None:
 
     g_neutral = _best_free_energy(embedder, mol.atomnos, mol.coords, mol.charge)
 
+    # site-constrained charge transfer for the GFNFF tier: the neutral
+    # parent's EEQ group charge sets the ion's site target so net-charge
+    # delocalization cannot scale with molecule size (the round-3 ddep
+    # pathology; see GFNFFTopology.site_b). Other calculators ignore sites.
+    q0 = None
+    if str(embedder.dispatcher.calculator).startswith("GFNFF"):
+        from firecode_tpu.calculators.gfnff import GFNFF
+
+        q0 = GFNFF(
+            mol.atomnos, mol.coords[0], charge=mol.charge
+        ).charges(mol.coords[0])
+
     if is_acid:
         # all removable H's on the site x all conformers; one batched refine
         # per element-ordering group, best G across groups
         g_other = min(
-            _best_free_energy(embedder, z2, c2, mol.charge - 1)
-            for z2, c2 in get_anions(mol.atomnos, mol.coords, index)
+            _best_free_energy(
+                embedder, z2, c2, mol.charge - 1,
+                charge_site=None if q0 is None else [site_idx],
+                site_target=None if q0 is None else float(
+                    q0[site_idx + (1 if removed[0] <= site_idx else 0)]
+                    + np.mean([q0[h] for h in removed]) - 1.0
+                ),
+            )
+            for z2, c2, site_idx, removed in get_anions(
+                mol.atomnos, mol.coords, index
+            )
         )
         dg = g_other - g_neutral
         mol.pka_data = ("HA -> A-", float(dg))
     else:
         # mean-vector + lone-pair-lobe placements x all conformers
         z2, c2 = get_cations(mol.atomnos, mol.coords, index)
-        g_other = _best_free_energy(embedder, z2, c2, mol.charge + 1)
-        dg = g_neutral - g_other
+        g_other = _best_free_energy(
+            embedder, z2, c2, mol.charge + 1,
+            charge_site=None if q0 is None else [index, len(z2) - 1],
+            site_target=None if q0 is None else float(q0[index] + 1.0),
+        )
+        # reference convention (firecode/pka.py:300): store G(BH+) - G(B);
+        # the termination's base formula (dG_ref - dG) assumes it. Storing
+        # the negation silently flipped base pKa deltas around the
+        # reference value (methylamine came out BELOW ammonia).
+        dg = g_other - g_neutral
         mol.pka_data = ("B -> BH+", float(dg))
 
     embedder.log(f"    {mol.pka_data[0]}: dG = {mol.pka_data[1]:.2f} kcal/mol")

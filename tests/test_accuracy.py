@@ -391,43 +391,49 @@ def test_thioether_geometry():
     assert abs(np.linalg.norm(xo[1] - xo[0]) - tgt) < tol
 
 
-def test_gas_phase_ion_orderings():
-    """Charged species through the EEQ net-charge constraint: the
-    pKa-workflow energetics must get the robust orderings right —
-    carboxylic acid more acidic than alcohol more acidic than water,
-    and methylamine a stronger base than ammonia. Quantitative ion
-    windows are dishonest at the FF tier (EEQ overpolarization, see
-    fixtures.ION_DIAGNOSTICS); the one windowed anchor asserts the
-    acid-vs-alcohol margin stays positive and bounded."""
-    from firecode_tpu.driver.pka import deprotonate, protonate
-    from firecode_tpu.opt.fire import optimize_batch
+def test_ion_hydration_anchored():
+    """The charge-dependent Born corrections (sign-split electrostriction +
+    descreening, solvation.DEFAULT_ION_PARAMS / committed ion fit) must
+    reproduce the KCT-2006 ion hydration free energies: at least 5 of the
+    6 anchors inside their windows, and the pKa-setting homolog deltas
+    (hydroxide-methoxide, ammonium-methylammonium) within a few kcal/mol.
+    Known residual: formate ~5 kcal/mol overbound relative to acetate
+    (alkyl-burial descreening asymmetry of the single-site carboxylate)."""
+    from firecode_tpu.calculators.fit_solvation import ion_hydration_energies
+    from firecode_tpu.calculators.solvation import load_ion_params
 
-    def relax_ze(zx, charge=0):
-        z, x = zx
-        calc = GFNFF(np.asarray(z), np.asarray(x), charge=charge)
-        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.05,
-                             max_steps=1500)
-        return float(res.energy[0]), np.asarray(res.coords[0])
+    es = ion_hydration_energies(load_ion_params())
+    ok = {
+        n: abs(es[n] - fx.ION_HYDRATION_TARGETS[n][0])
+        <= fx.ION_HYDRATION_TARGETS[n][1]
+        for n in es
+    }
+    assert sum(ok.values()) >= 5, (es, ok)
+    # homolog deltas that set aqueous pKa class differences
+    d_o = es["hydroxide"] - es["methoxide"]  # exp -9.5
+    assert abs(d_o - (-9.5)) < 5.0, d_o
+    d_n = es["ammonium"] - es["methylammonium"]  # exp -8.8
+    assert abs(d_n - (-8.8)) < 5.0, d_n
 
-    def e_dep(zx, h_idx):
-        e0, x0 = relax_ze(zx)
-        za, xa = deprotonate(np.asarray(zx[0]), x0, h_idx)
-        e1, _ = relax_ze((za, xa), -1)
-        return e1 - e0
 
-    def e_prot(zx, heavy_idx):
-        e0, x0 = relax_ze(zx)
-        zp, xp = protonate(np.asarray(zx[0]), x0, heavy_idx)
-        e1, _ = relax_ze((zp, xp), +1)
-        return e0 - e1
+def test_gas_phase_ion_class_deltas_anchored():
+    """Quantitative ion energetics through the SITE-CONSTRAINED EEQ
+    (GFNFFTopology.site_b + fitted params.K_CT): every ddep/dpa class
+    delta — diagnostics with 12-50 kcal/mol errors in round 3 — must now
+    land inside its honest anchor window (a few kcal/mol), and the robust
+    cross-class orderings must hold. This is the anchor set behind the
+    native-tier pKa workflow (driver/pka.py)."""
+    from firecode_tpu.calculators.gfnff.accuracy import ion_class_deltas
 
-    d_formic = e_dep(fx.formic_acid(), 4)
-    d_meoh = e_dep(fx.methanol(), 2)
-    d_h2o = e_dep(fx.water(), 1)
-    assert d_formic < d_meoh < d_h2o  # acidity ladder, cross-class
-    tgt, tol = _target("ddep_methanol_minus_formic")
-    assert abs((d_meoh - d_formic) - tgt) < tol  # ordering-resolving window
-
-    p_nh3 = e_prot(fx.ammonia(), 0)
-    p_ma = e_prot(fx.methylamine(), 1)
-    assert p_ma > p_nh3  # methyl substitution raises amine proton affinity
+    ions = ion_class_deltas()
+    assert ions["acidity_ordering_ok"]  # formic < methanol < water
+    assert ions["pa_ordering_ok"]  # methylamine stronger base than ammonia
+    for key in (
+        "ddep_water_minus_methanol",
+        "ddep_methanol_minus_ethanol",
+        "ddep_acetic_minus_formic",
+        "dpa_methylamine_minus_ammonia",
+        "ddep_methanol_minus_formic",
+    ):
+        tgt, tol = _target(key)
+        assert abs(ions[key] - tgt) < tol, (key, ions[key], tgt, tol)
