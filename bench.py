@@ -427,6 +427,49 @@ def bench_e2e(n_out: int | None = None) -> dict:
     }
 
 
+def bench_recall() -> dict:
+    """Conformer-search completeness: recall of the native batched MTD
+    against the exhaustive-csearch ground-truth conformer-type set of
+    butane (the CREST-completeness check, tests/test_search_completeness.py
+    at bench scale). Run with FIRECODE_BENCH_MODE=recall."""
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.gfnff import GFNFF
+    from firecode_tpu.csearch import csearch
+    from firecode_tpu.md.metadynamics import run_mtd
+    from firecode_tpu.opt.fire import optimize_batch
+    from firecode_tpu.ops.algebra import dihedral
+    from firecode_tpu.sample_molecules import build_alkane
+
+    z, x = build_alkane(4)
+    calc = GFNFF(z, x)
+    quad = np.asarray([[0, 1, 2, 3]], dtype=np.int32)
+
+    def types_of(pool):
+        res = optimize_batch(calc, jnp.asarray(pool), fmax=0.05, max_steps=3000)
+        ok = np.asarray(res.converged)
+        e = np.asarray(res.energy)[ok]
+        c = np.asarray(res.coords)[ok]
+        c = c[e < e.min() + 6.0]
+        phis = np.asarray(dihedral(jnp.asarray(c)[:, quad[0]]))
+        return {"a" if abs(p) > 120.0 else "g" for p in np.ravel(phis)}
+
+    t0 = time.perf_counter()
+    truth = types_of(csearch(z, x, n_out=50, mode=1, seed=0))
+    pool = run_mtd(calc, z, x, n_walkers=4, n_steps=1500, dep_every=100, seed=3)
+    found = types_of(pool)
+    recall = len(truth & found) / max(len(truth), 1)
+    return {
+        "metric": "native-MTD conformer recall vs exhaustive csearch (butane)",
+        "value": recall,
+        "unit": "recall",
+        "vs_baseline": recall,
+        "truth_types": sorted(truth),
+        "found_types": sorted(found),
+        "elapsed_s": round(time.perf_counter() - t0, 3),
+    }
+
+
 def bench_pallas_ab() -> dict:
     """Isolated A/B of the fused Pallas QCP tile vs the jnp path: the full
     8192^2 minimum-RMSD matrix (rmsd-only, the Pallas production use case).
@@ -478,12 +521,13 @@ def _rotamer_perms(atomnos, base_coords) -> np.ndarray:
 
 def main() -> None:
     mode = os.environ.get("FIRECODE_BENCH_MODE")
-    if mode in ("csearch", "gfnff", "mtd", "e2e"):
+    if mode in ("csearch", "gfnff", "mtd", "e2e", "recall"):
         fn = {
             "csearch": bench_csearch,
             "gfnff": bench_gfnff_opt,
             "mtd": bench_mtd,
             "e2e": bench_e2e,
+            "recall": bench_recall,
         }[mode]
         print(json.dumps(fn()), flush=True)
         return

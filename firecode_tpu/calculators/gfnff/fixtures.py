@@ -545,10 +545,10 @@ HYDRATION_TARGETS: dict[str, tuple[float, float]] = {
     "water": (-6.32, 1.5),
     "methanol": (-5.11, 1.5),
     "ammonia": (-4.29, 1.5),
-    "methane": (2.00, 1.2),
-    "ethane": (1.83, 1.2),
-    "butane": (2.08, 1.5),
-    "formaldehyde": (-2.75, 2.0),
+    "methane": (2.00, 0.9),
+    "ethane": (1.83, 0.9),
+    "butane": (2.08, 1.0),
+    "formaldehyde": (-2.75, 1.2),
     "formic_acid": (-6.70, 2.5),
 }
 
@@ -572,11 +572,11 @@ ION_HYDRATION_TARGETS: dict[str, tuple[float, float]] = {
 TARGETS: dict[str, tuple[float, float]] = {
     # torsion energetics (kcal/mol)
     "ethane_barrier": (2.9, 1.0),
-    "butane_gauche": (0.75, 0.6),
+    "butane_gauche": (0.75, 0.35),
     # rigid-scan proxy: the relaxed syn barrier is ~5.5, a rigid rotation
     # from the anti geometry keeps the full H...H clash (~+2-3 on top)
     "butane_syn_barrier": (7.0, 3.0),
-    "ethylene_twist": (65.0, 33.0),
+    "ethylene_twist": (65.0, 8.0),
     # H-bond energetics (kcal/mol)
     "water_dimer_de": (5.0, 1.8),
     "formic_dimer_de": (18.6, 7.0),
@@ -600,7 +600,7 @@ TARGETS: dict[str, tuple[float, float]] = {
     # vs ethane's 9 (per-quad torsion weighting; microwave barrier 1.07)
     "methanol_oh_torsion": (1.07, 0.5),
     # NH3 inversion (planar - pyramidal, rigid planarized proxy; exp 5.8)
-    "nh3_inversion": (5.8, 3.0),
+    "nh3_inversion": (5.8, 2.5),
     # amide C-N rotation, rigid 90-degree proxy (exp relaxed 16-18; the
     # rigid path keeps N planar so the proxy sits a few kcal above)
     "formamide_rotation": (20.0, 8.0),
@@ -707,3 +707,23 @@ ION_DIAGNOSTICS: dict[str, float] = {
     "ddep_acetic_minus_formic": 2.8,
     "dpa_methylamine_minus_ammonia": 10.9,
 }
+
+
+# Regression caps on the force RMS at the experimental geometries
+# (kcal/mol/A): the worst rows are visibly shifted minima (sp-carbon
+# contraction, H-bond wells — VERDICT r3 weak #4); the caps pin them at
+# ~1.15x their round-4 values so any regression fails tests/test_accuracy.
+# Everything not listed must stay under the generic cap.
+FORCE_RMS_CAPS: dict[str, float] = {
+    "acetylene": 74.0,
+    "water_dimer": 52.0,
+    "propyne": 51.0,
+    "formic_dimer": 43.0,
+    "formic_acid": 42.0,
+    "hcn": 41.0,
+    "acetonitrile": 23.0,
+    "formamide": 20.0,
+    "formaldehyde": 18.0,
+    "ethylene": 17.0,
+}
+FORCE_RMS_GENERIC_CAP = 16.0
