@@ -143,6 +143,15 @@ def run_cascade(
     n_dev = len(jax.devices())
     stages: dict = {"n_in": int(len(coords))}
 
+    def compact(coords, keep):
+        # device-side survivor gather: only ONE scalar (the count) crosses
+        # to the host — shipping the 10 MB keep mask + index list through
+        # the tunnel cost ~2 s per stage at the 1e7 point
+        keep = jnp.asarray(keep)
+        n = int(jnp.sum(keep))
+        idx = jnp.sort(jnp.where(keep, jnp.arange(keep.shape[0]), keep.shape[0]))[:n]
+        return jnp.take(coords, idx, axis=0)
+
     t0 = time.perf_counter()
     # the cheap MOI similarity favours LARGER blocks than the RMSD stages
     # (fewer triangular-loop iterations at 1e6): swept 512/1024/2048/4096 ->
@@ -150,7 +159,7 @@ def run_cascade(
     # sequential in-block resolve); the log-space ratio kernel then cut
     # 1024 to ~2.0 s
     keep = prune_by_moi(coords, atomnos, block=max(block, 1024))
-    coords = jnp.take(coords, jnp.asarray(np.where(keep)[0]), axis=0)
+    coords = compact(coords, keep)
     coords.block_until_ready()
     t1 = time.perf_counter()
     stages["moi_s"] = round(t1 - t0, 3)
@@ -163,7 +172,7 @@ def run_cascade(
         keep = prune_by_rmsd_sharded(coords, rmsd_thr=0.5, block=min(block, 512))
     else:
         keep = prune_by_rmsd(coords, atomnos, rmsd_thr=0.5, block=block)
-    coords = jnp.take(coords, jnp.asarray(np.where(keep)[0]), axis=0)
+    coords = compact(coords, keep)
     coords.block_until_ready()
     t2 = time.perf_counter()
     stages["rmsd_s"] = round(t2 - t1, 3)
@@ -172,7 +181,7 @@ def run_cascade(
     keep = prune_by_rmsd_rot_corr(
         coords, atomnos, permutations=perms, rmsd_thr=0.5, block=min(block, 256)
     )
-    coords = jnp.take(coords, jnp.asarray(np.where(keep)[0]), axis=0)
+    coords = compact(coords, keep)
     coords.block_until_ready()
     t3 = time.perf_counter()
     stages["rot_corr_s"] = round(t3 - t2, 3)

@@ -14,6 +14,7 @@ very large pairwise screens; falls back to interpret mode off-TPU (tests).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -21,7 +22,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-_NEWTON_ITERS = 16
+# Newton iterations for the QCP quartic root, started at lam0 = (ga+gb)/2
+# >= lam_max (monotone convergence from above). Measured against the f64
+# oracle (near-duplicates + random 50-atom pairs): for SIMILAR pairs
+# (rmsd < 1.5 A — everything a prune threshold ever examines) the error is
+# 2.2e-3 A at EVERY count from 6 to 16 — the f32 correlation floor, not
+# Newton truncation. Truncation only shows in the far field (rmsd >> thr):
+# max 0.19 A at N=8 vs 2.2e-3 at N=16, where values are decision-
+# irrelevant. N=8 cuts the VPU epilogue ~2x (46.0 -> 37.7 ms on the
+# 8192^2 tile benchmark, v5e); raise FIRECODE_QCP_NEWTON for far-field
+# value accuracy.
+_NEWTON_ITERS = int(os.environ.get("FIRECODE_QCP_NEWTON", "8"))
 
 
 def _unify_vma(*arrays):
@@ -39,8 +50,8 @@ def _unify_vma(*arrays):
         missing = tuple(sorted(target - v))
         out.append(jax.lax.pcast(a, missing, to="varying") if missing else a)
     return tuple(out)
-BK = 256
-BL = 256
+BK = int(os.environ.get("FIRECODE_QCP_BK", "256"))
+BL = int(os.environ.get("FIRECODE_QCP_BL", "256"))
 # the quaternion-emitting kernel carries ~3x more live planes (key-matrix
 # entries + adjugate rows); smaller tiles keep it comfortably inside VMEM
 BKQ = 128
@@ -96,6 +107,9 @@ def _quartic_from_planes(s):
     return c2, c1, c0, k
 
 
+_NEWTON_UNROLL = os.environ.get("FIRECODE_QCP_UNROLL", "1") != "0"
+
+
 def _newton_lambda(c2, c1, c0, lam0):
     def body(_, lam):
         lam2 = lam * lam
@@ -104,6 +118,13 @@ def _newton_lambda(c2, c1, c0, lam0):
         step = p / jnp.where(jnp.abs(dp) > 1e-30, dp, jnp.inf)
         return lam - step
 
+    if _NEWTON_UNROLL:
+        # static unroll: inside a Pallas kernel the fori_loop carries
+        # per-iteration control overhead on big VPU tiles
+        lam = lam0
+        for _ in range(_NEWTON_ITERS):
+            lam = body(0, lam)
+        return lam
     return jax.lax.fori_loop(0, _NEWTON_ITERS, body, lam0)
 
 

@@ -743,10 +743,19 @@ def _prune_moi_grid_device(
     host, so no single device program exceeds the tunnel's execution
     limit at 1e7 rows. Band transients are [r_chunk, w]-sized, so huge
     ensembles never allocate coordinate-scale buffers."""
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("FIRECODE_MOI_DEBUG") == "1"
     b = lm.shape[0]
     dtype = lm.dtype
-    keep_global = np.zeros(b, dtype=bool)
-    orig_idx = np.arange(b, dtype=np.int64)  # subset position -> original row
+    # ALL bookkeeping stays on device: at 1e7 rows the per-level index and
+    # mask arrays are tens of MB, and the TPU tunnel on this class of box
+    # moves ~20 MB/s — the original host-side scatter/sort/compact cost
+    # 12+ s per level (measured), more than 3x the band passes themselves.
+    # Only the final keep mask crosses to the host.
+    keep_global = jnp.zeros(b, dtype=bool)
+    orig_idx = jnp.arange(b, dtype=jnp.int32)  # subset position -> original row
     lm_cur = lm
     e_cur = energies
     w_cur = int(w)
@@ -764,16 +773,28 @@ def _prune_moi_grid_device(
             # hand the remainder to the dense engine (array order == original
             # greedy order: compaction kept ascending original indices)
             if u == 1:
-                keep_global[orig_idx[0]] = True
+                keep_global = keep_global.at[orig_idx[0]].set(True)
             else:
+                _td = _time.perf_counter()
                 block = min(1024, _pow2_at_most(u))
                 keep_sub = _prune_moi_device(
                     lm_cur, e_cur, rel_tol, mde, block, has_energies,
                     full_column=True,
                 )
-                keep_global[orig_idx[np.asarray(keep_sub)]] = True
+                # scatter through the subset->original map; dead rows hit
+                # the drop-sentinel slot b (mode="drop")
+                tgt = jnp.where(keep_sub, orig_idx, b)
+                keep_global = keep_global.at[tgt].set(True, mode="drop")
+                if _dbg:
+                    keep_global.block_until_ready()
+                    print(
+                        f"    [moi-grid] dense tail u={u}: "
+                        f"{_time.perf_counter() - _td:.2f}s",
+                        flush=True,
+                    )
             break
 
+        _t0 = _time.perf_counter()
         (c, lm_s, e_s, orig_s, order, valid, band_starts) = (
             _banded_setup(lm_cur, e_cur, rel_tol, w_cur, r_chunk)
         )
@@ -795,20 +816,48 @@ def _prune_moi_grid_device(
                 )
             return dead
 
+        if _dbg:
+            band_starts.block_until_ready()
+            _t1 = _time.perf_counter()
         has_earlier = run_pass(valid)
+        if _dbg:
+            has_earlier.block_until_ready()
+            _t2 = _time.perf_counter()
         newkeep_s = valid & ~has_earlier  # definite keepers
         dead_s = run_pass(newkeep_s)  # definite dead (killed by a keeper)
+        if _dbg:
+            dead_s.block_until_ready()
+            print(
+                f"    [moi-grid] level {level}: u={u} w={w_cur} "
+                f"setup={_t1 - _t0:.2f}s pass1={_t2 - _t1:.2f}s "
+                f"pass2={_time.perf_counter() - _t2:.2f}s",
+                flush=True,
+            )
         undec_s = valid & ~newkeep_s & ~dead_s
 
-        orig_s_np = np.asarray(orig_s)
-        keep_global[orig_idx[orig_s_np[np.asarray(newkeep_s)]]] = True
-        undec_pos = np.sort(orig_s_np[np.asarray(undec_s)])
-        orig_idx = orig_idx[undec_pos]
-        sel = jnp.asarray(undec_pos)
-        lm_cur = jnp.take(lm_cur, sel, axis=0)
-        e_cur = jnp.take(e_cur, sel, axis=0)
+        _t3 = _time.perf_counter()
+        bp_s = orig_s.shape[0]
+        # scatter the definite keepers into the ORIGINAL-index mask, all on
+        # device (orig_s pad sentinel >= u never reaches the gather)
+        sub_pos = jnp.minimum(orig_s, u - 1)
+        tgt = jnp.where(newkeep_s, jnp.take(orig_idx, sub_pos), b)
+        keep_global = keep_global.at[tgt].set(True, mode="drop")
+        # compact the undecided subset in ascending ORIGINAL greedy order:
+        # sort subset positions (pad/decided rows pushed past the end)
+        n_undec = int(jnp.sum(undec_s))
+        undec_pos = jnp.sort(jnp.where(undec_s, orig_s, bp_s))[:n_undec]
+        orig_idx = jnp.take(orig_idx, undec_pos)
+        lm_cur = jnp.take(lm_cur, undec_pos, axis=0)
+        e_cur = jnp.take(e_cur, undec_pos, axis=0)
+        if _dbg:
+            lm_cur.block_until_ready()
+            print(
+                f"    [moi-grid] level {level} device compact "
+                f"(u' = {n_undec}): {_time.perf_counter() - _t3:.2f}s",
+                flush=True,
+            )
 
-        if len(undec_pos) > _PEEL_DENSE_MAX:
+        if n_undec > _PEEL_DENSE_MAX:
             # re-measure the band for the compacted subset (its spread and
             # runs shrink with it); a degenerate subset falls to dense
             max_run, prod, spread = _moi_grid_stats(
@@ -883,25 +932,39 @@ def prune_by_moi(
 
     # the only coordinate-sized work: log principal moments, row-chunked so
     # 1e7-conformer ensembles never allocate coordinate-scale transients
+    import os as _os
+    import time as _time
+
     from firecode_tpu.ops.inertia import log_moments_chunked
 
+    _dbg = _os.environ.get("FIRECODE_MOI_DEBUG") == "1"
+    _t0 = _time.perf_counter()
     lm = log_moments_chunked(coords, masses)
+    if _dbg:
+        lm.block_until_ready()
+        print(f"    [moi] log-moments: {_time.perf_counter() - _t0:.2f}s", flush=True)
 
     if b >= _GRID_MIN_B:
         # banded grid engine: O(B * band-width) dense tile tests instead of
         # O(B^2); exact (same keep lists). The band is sized by the measured
         # candidate spread; degenerate ensembles (everything in a few cells)
         # fall back to the dense path.
+        _t1 = _time.perf_counter()
         max_run, prod, spread = _moi_grid_stats(lm, rel, r_chunk=_BAND_R)
         w_need = max(int(spread) + int(max_run), 1)
+        if _dbg:
+            print(f"    [moi] grid stats: {_time.perf_counter() - _t1:.2f}s", flush=True)
         if w_need <= _BAND_MAX_W and float(prod) < 2**29:
             # sweep work is linear in W: round up to the 128-lane VPU
             # width, not to a power of two (4096 vs the 2560 needed at
             # the 10M bench point is 1.6x wasted compares)
             w = max(_BAND_R, -(-w_need // 128) * 128)
+            _t2 = _time.perf_counter()
             keep = _prune_moi_grid_device(
                 lm, e, rel, mde, w, _BAND_R, has_energies
             )
+            if _dbg:
+                print(f"    [moi] grid engine total: {_time.perf_counter() - _t2:.2f}s", flush=True)
             return np.asarray(keep)
 
     keep = _prune_moi_device(
