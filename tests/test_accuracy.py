@@ -449,6 +449,7 @@ def test_ion_hydration_anchored():
     assert abs(d_n - (-8.8)) < 5.0, d_n
 
 
+@pytest.mark.slow
 def test_gas_phase_ion_class_deltas_anchored():
     """Quantitative ion energetics through the SITE-CONSTRAINED EEQ
     (GFNFFTopology.site_b + fitted params.K_CT): every ddep/dpa class

@@ -3,6 +3,12 @@ the identical final ensemble (VERDICT round-1 item 6; reference checkpoint
 cadence firecode/embedder.py:2213-2240, which has no consume side)."""
 
 import os
+import pytest
+
+# heavy e2e module: excluded from the fast default
+# selection (pytest -m '' runs everything)
+pytestmark = pytest.mark.slow
+
 
 import numpy as np
 import pytest

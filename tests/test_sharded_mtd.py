@@ -12,6 +12,12 @@ counterpart there.
 import numpy as np
 import pytest
 
+# heavy e2e module: excluded from the fast default
+# selection (pytest -m '' runs everything)
+pytestmark = pytest.mark.slow
+
+import pytest
+
 from firecode_tpu.sample_molecules import build_alkane
 
 
