@@ -50,12 +50,16 @@ def test_xyz_roundtrip(tmp_path):
 
 
 def test_ensemble_from_xyz(tmp_path):
+    from firecode_tpu.units import EH_TO_KCAL
+
     path = tmp_path / "w.xyz"
     write_xyz(path, WATER_ATOMS, WATER[None], energies=np.array([-76.4]))
     ens = Ensemble.from_xyz(path, read_energies=True)
     assert len(ens) == 1
     np.testing.assert_array_equal(ens.atomnos, [8, 1, 1])
-    assert ens.energies[0] == -76.4
+    # comment-line energies are Hartree; the Ensemble contract is kcal/mol
+    # (ADVICE r3: storing raw Eh inflated analysis() gaps ~627x)
+    assert np.isclose(ens.energies[0], -76.4 * EH_TO_KCAL)
 
 
 def test_ensemble_energy_pruning():
