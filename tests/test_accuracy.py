@@ -283,6 +283,7 @@ def test_cyclohexane_ringflip_ts_stack():
     assert abs(e_sides[1] - tb_tgt) < tb_tol  # twist-boat side
 
 
+@pytest.mark.slow
 def test_harmonic_frequencies_calibrated():
     """Stretch modes against experimental harmonic frequencies: the Morse
     well table is calibrated against 21 literature stretching force

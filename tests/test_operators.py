@@ -48,6 +48,7 @@ def test_fsm_operator_run(rundir):
     assert (rundir / "rot_FSM_string.xyz").exists()
 
 
+@pytest.mark.slow
 @pytest.mark.operator
 def test_scan_operator_run(rundir):
     # dihedral scan driven by a D constraint line

@@ -180,6 +180,7 @@ def test_environment_fingerprint_distinguishes_oxygens():
     assert fp_carbonyl != fp_hydroxyl
 
 
+@pytest.mark.slow
 def test_fine_rescan_refines_peak(rng):
     from firecode_tpu.atropisomers import ase_dih_scan, fine_rescan, _find_peaks
     from firecode_tpu.calculators import LiteFF

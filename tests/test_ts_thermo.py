@@ -149,6 +149,7 @@ def test_thermo_literature_values():
     assert s_sol < s_t
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     """The driver-validated multi-chip path keeps working."""
     import __graft_entry__ as g
