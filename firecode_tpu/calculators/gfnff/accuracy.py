@@ -153,6 +153,13 @@ def compute_report() -> dict:
         res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.02, max_steps=4000)
         return np.asarray(res.coords[0])
 
+    def relax_charged_e(z, x, charge, site, tgt):
+        calc = GFNFF(np.asarray(z), np.asarray(x), charge=charge,
+                     charge_site=site, site_charge_target=tgt)
+        res = optimize_batch(calc, jnp.asarray(x)[None], fmax=0.02,
+                             max_steps=4000)
+        return float(res.energy[0])
+
     xw = relax(fx.water())
     rec("water_oh", np.linalg.norm(xw[1] - xw[0]))
     rec("water_hoh", _angle(xw, 1, 0, 2))
@@ -233,6 +240,36 @@ def compute_report() -> dict:
                              max_steps=400)
     rec("cyclohexane_ringflip_barrier",
         sad_ring.energy - float(ring_calc.energy(jnp.asarray(xch))))
+
+    # ester + secondary amine (round-4 fixture extension)
+    xmf = relax(fx.methyl_formate())
+    rec("ester_co_double", np.linalg.norm(xmf[1] - xmf[0]))
+    rec("ester_co_single_mean", 0.5 * (
+        np.linalg.norm(xmf[2] - xmf[0]) + np.linalg.norm(xmf[4] - xmf[2])
+    ))
+    xdma = relax(fx.dimethylamine())
+    rec("dma_cn", np.linalg.norm(xdma[1] - xdma[0]))
+    rec("dma_cnc", _angle(xdma, 1, 0, 2))
+
+    # charged hydrogen bond NH4+...OH2 — DIAGNOSTIC, not an anchor: the
+    # site-constrained model underbinds it badly (the EEQ reorganization
+    # energy cancels the ion-dipole attraction; De ~ -4 vs CCSD(T) +20.6
+    # kcal/mol). Recorded honestly as the known charged-intermolecular
+    # limitation of the native tier.
+    z_aw, x_aw = fx.ammonium_water()
+    site_aw = [0, 1, 2, 3, 4]
+    e_cplx = relax_charged_e(z_aw, x_aw, 1, site_aw, 1.0)
+    x_sep = np.asarray(x_aw).copy()
+    x_sep[5:] += np.array([40.0, 0.0, 0.0])
+    e_sep = relax_charged_e(z_aw, x_sep, 1, site_aw, 1.0)
+    report["charged_hb_diagnostic"] = {
+        "system": "NH4+...OH2",
+        "de_kcal": round(e_sep - e_cplx, 2),
+        "reference_de": 20.6,
+        "note": ("diagnostic, not an anchor: charged intermolecular "
+                 "H-bonds are underbound at the native tier (EEQ "
+                 "reorganization cancels the ion-dipole attraction)"),
+    }
 
     # heteroaromatics: pyridine (aromatic N), furan / thiophene
     # (conjugated divalent O/S perceived SP2; bond alternation)

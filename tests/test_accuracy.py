@@ -472,3 +472,33 @@ def test_gas_phase_ion_class_deltas_anchored():
     ):
         tgt, tol = _target(key)
         assert abs(ions[key] - tgt) < tol, (key, ions[key], tgt, tol)
+
+
+def test_ester_and_secondary_amine_geometry():
+    """Round-4 fixture extension: ester C=O + single-bond mean (the acyl/
+    alkyl split is a documented limitation) and the dimethylamine C-N/CNC
+    anchors."""
+    from firecode_tpu.opt.fire import optimize_batch
+
+    def relax(zx):
+        z, x = zx
+        res = optimize_batch(GFNFF(z, x), jnp.asarray(x)[None], fmax=0.02,
+                             max_steps=4000)
+        return np.asarray(res.coords[0])
+
+    xm = relax(fx.methyl_formate())
+    tgt, tol = _target("ester_co_double")
+    assert abs(np.linalg.norm(xm[1] - xm[0]) - tgt) < tol
+    mean_single = 0.5 * (
+        np.linalg.norm(xm[2] - xm[0]) + np.linalg.norm(xm[4] - xm[2])
+    )
+    tgt, tol = _target("ester_co_single_mean")
+    assert abs(mean_single - tgt) < tol
+
+    xd = relax(fx.dimethylamine())
+    tgt, tol = _target("dma_cn")
+    assert abs(np.linalg.norm(xd[1] - xd[0]) - tgt) < tol
+    v1, v2 = xd[1] - xd[0], xd[2] - xd[0]
+    cnc = np.degrees(np.arccos(v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2))))
+    tgt, tol = _target("dma_cnc")
+    assert abs(cnc - tgt) < tol
