@@ -251,25 +251,20 @@ def compute_report() -> dict:
     rec("dma_cn", np.linalg.norm(xdma[1] - xdma[0]))
     rec("dma_cnc", _angle(xdma, 1, 0, 2))
 
-    # charged hydrogen bond NH4+...OH2 — DIAGNOSTIC, not an anchor: the
-    # site-constrained model underbinds it badly (the EEQ reorganization
-    # energy cancels the ion-dipole attraction; De ~ -4 vs CCSD(T) +20.6
-    # kcal/mol). Recorded honestly as the known charged-intermolecular
-    # limitation of the native tier.
-    z_aw, x_aw = fx.ammonium_water()
-    site_aw = [0, 1, 2, 3, 4]
-    e_cplx = relax_charged_e(z_aw, x_aw, 1, site_aw, 1.0)
-    x_sep = np.asarray(x_aw).copy()
-    x_sep[5:] += np.array([40.0, 0.0, 0.0])
-    e_sep = relax_charged_e(z_aw, x_sep, 1, site_aw, 1.0)
-    report["charged_hb_diagnostic"] = {
-        "system": "NH4+...OH2",
-        "de_kcal": round(e_sep - e_cplx, 2),
-        "reference_de": 20.6,
-        "note": ("diagnostic, not an anchor: charged intermolecular "
-                 "H-bonds are underbound at the native tier (EEQ "
-                 "reorganization cancels the ion-dipole attraction)"),
-    }
+    # charged hydrogen bonds (CAHB term, params.khb_qd/khb_qa): both
+    # complexes were UNBOUND before the charge-assisted boost
+    def chb_de(zx, charge, site, tgt, sep_from):
+        z_c, x_c = zx
+        e_cplx = relax_charged_e(z_c, x_c, charge, site, tgt)
+        x_sep = np.asarray(x_c).copy()
+        x_sep[sep_from:] += np.array([40.0, 0.0, 0.0])
+        e_sep = relax_charged_e(z_c, x_sep, charge, site, tgt)
+        return e_sep - e_cplx
+
+    rec("chb_nh4_water_de",
+        chb_de(fx.ammonium_water(), 1, [0, 1, 2, 3, 4], 1.0, 5))
+    rec("chb_hydroxide_water_de",
+        chb_de(fx.hydroxide_water(), -1, [0, 1], -1.0, 2))
 
     # heteroaromatics: pyridine (aromatic N), furan / thiophene
     # (conjugated divalent O/S perceived SP2; bond alternation)

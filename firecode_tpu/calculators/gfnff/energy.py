@@ -476,8 +476,14 @@ def gfnff_energy_terms(
         f_ang = ((1.0 - cos_dha) * 0.5) ** 4  # 1 at linear D-H...A, 0 at 0 deg
         f_dist = jnp.exp(-p["khb_w"] * (rha - p["r0_hb"]) ** 2)
         # resonance-assisted boost on sp2-O acceptors (carbonyl/carboxyl):
-        # plain element factors underbind acid dimers by ~6 kcal/mol
-        strength = top.hb_f * (1.0 + (p["khb_sp2"] - 1.0) * top.hb_sp2)
+        # plain element factors underbind acid dimers by ~6 kcal/mol.
+        # Charge-assisted boost (hb_qd/hb_qa nonzero only on ion
+        # topologies): cationic donors / anionic acceptors bind 3-5x their
+        # neutral analogs (fitted on NH4+...OH2 / HO-...H2O, CCSD(T) De)
+        strength = top.hb_f * (
+            1.0 + (p["khb_sp2"] - 1.0) * top.hb_sp2
+            + p["khb_qd"] * top.hb_qd + p["khb_qa"] * top.hb_qa
+        )
         terms["hb"] = -jnp.sum(p["khb"] * strength * f_ang * f_dist)
 
     # ---- halogen bonds ----

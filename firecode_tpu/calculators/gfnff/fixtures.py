@@ -271,6 +271,23 @@ def ammonium_water() -> tuple[np.ndarray, np.ndarray]:
     return z, np.vstack([n, *hs, o, hw1, hw2])
 
 
+def hydroxide_water() -> tuple[np.ndarray, np.ndarray]:
+    """HO- ... H2O — the anion-ACCEPTOR charged hydrogen bond (O...O
+    2.47-2.5 A; De ~ 26.7 kcal/mol CCSD(T)/CBS). Total charge -1; the
+    charge site is the hydroxide fragment (atoms 0-1).
+
+    Atom order [O_hyd, H_hyd, O_w, H_donor, H_w]."""
+    o1 = np.zeros(3)
+    h1 = o1 + 0.964 * np.array([-1.0, 0.0, 0.0])
+    o2 = o1 + 2.50 * np.array([1.0, 0.0, 0.0])
+    # donor H on the O2->O1 axis (near-linear O-H...O)
+    hd = o2 + 1.0 * np.array([-1.0, 0.0, 0.0])
+    th = D(104.5)
+    hw = o2 + 0.9572 * np.array([np.cos(th) * -1.0, np.sin(th), 0.0]) * -1.0
+    z = np.array([8, 1, 8, 1, 1])
+    return z, np.vstack([o1, h1, o2, hd, hw])
+
+
 def ethanol() -> tuple[np.ndarray, np.ndarray]:
     """Ethanol (anti): methanol with one methyl H replaced by CH3.
 
@@ -754,6 +771,11 @@ TARGETS: dict[str, tuple[float, float]] = {
     # (acyl C-O 1.334 vs alkyl O-C 1.437) average out in the FF (no
     # conjugation asymmetry), so their MEAN is anchored and the split is a
     # documented limitation.
+    # charged hydrogen bonds (CAHB): binding energies of the fitted
+    # anchors themselves (2 params on 2 anchors — the regression value is
+    # that they STAY reproduced; both complexes were unbound pre-fit)
+    "chb_nh4_water_de": (20.6, 4.0),
+    "chb_hydroxide_water_de": (26.7, 4.0),
     "ester_co_double": (1.200, 0.035),
     "ester_co_single_mean": (1.386, 0.035),
     "dma_cn": (1.462, 0.035),

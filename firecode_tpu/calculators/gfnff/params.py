@@ -270,6 +270,16 @@ class GlobalParams:
     khb_sp2: float = 2.0  # resonance-assisted boost on sp2-O acceptors
     #   (anchored on the formic-acid cyclic dimer De 18.6, CCSD(T)/CBS)
     khb_w: float = 1.4  # Gaussian width (A^-2) around r0_hb
+    # charge-assisted H-bond boosts (ion topologies only; strength factor
+    # 1 + khb_qd*clip(q_d+q_h,0,2) + khb_qa*clip(-q_a,0,2)). Fitted by a
+    # 2x2 linear solve + one refinement against the CCSD(T)-quality
+    # charged-HB binding anchors: NH4+...OH2 De 20.6 (got 20.59) and
+    # HO-...H2O De 26.7 (got 26.68) — both complexes were UNBOUND (-4.4 /
+    # -9.1 kcal/mol) before the term (the EEQ partial-charge scale cannot
+    # carry ion-dipole attraction through the ES term). Neutral chemistry
+    # is untouched: the features are zero unless |total charge| > 0.5.
+    khb_qd: float = 23.186
+    khb_qa: float = 11.771
     r0_hb: float = 1.90  # H...A target distance (A)
     # halogen bond correction
     kxb: float = 1.5

@@ -112,6 +112,14 @@ class GFNFFTopology(NamedTuple):
     hb_sp2: jnp.ndarray  # f[H] 1.0 for sp2-O acceptors (khb_sp2 boost:
     #   resonance-assisted carbonyl/carboxyl HBs bind far harder than
     #   their element factor alone — acid dimers, amide bridges)
+    # charge-assisted H-bond features (NONZERO ONLY on ion topologies,
+    # |charge| > 0.5, so neutral chemistry is bit-identical): cationic
+    # donor groups (NH4+) and anionic acceptors (HO-) bind 3-5x harder
+    # than their neutral analogs — the EEQ partial-charge scale is too
+    # small to carry that through the ES term alone (measured: the
+    # NH4+...OH2 complex came out UNBOUND by 4 kcal/mol vs CCSD(T) +20.6)
+    hb_qd: jnp.ndarray  # f[H] clip(q_topo[d]+q_topo[h], 0, 2) * is_ion
+    hb_qa: jnp.ndarray  # f[H] clip(-q_topo[a], 0, 2) * is_ion
     xb: jnp.ndarray  # i32[X, 3] C, X, acceptor
     xb_f: jnp.ndarray  # f[X]
     q_topo: jnp.ndarray  # f[N] setup-geometry EEQ charges (diagnostic/HB)
@@ -405,7 +413,8 @@ def build_gfnff_topology(
     )
 
     # ---------------- HB / XB triplets ----------------
-    hb, hb_f, hb_sp2 = [], [], []
+    is_ion = abs(float(charge)) > 0.5
+    hb, hb_f, hb_sp2, hb_qd, hb_qa = [], [], [], [], []
     bonded = {tuple(sorted(e)) for e in graph.edges}
     for d in range(n):
         if int(atomnos[d]) not in _HB_DONOR_Z:
@@ -428,6 +437,13 @@ def build_gfnff_topology(
                 # fittable khb_sp2 boost at energy time, not a baked factor
                 hb_sp2.append(
                     1.0 if int(atomnos[a]) == 8 and hyb[a] == SP2 else 0.0
+                )
+                hb_qd.append(
+                    float(np.clip(q_topo[d] + q_topo[h], 0.0, 2.0))
+                    if is_ion else 0.0
+                )
+                hb_qa.append(
+                    float(np.clip(-q_topo[a], 0.0, 2.0)) if is_ion else 0.0
                 )
 
     xb, xb_f = [], []
@@ -504,6 +520,8 @@ def build_gfnff_topology(
         hb=jnp.asarray(pad_idx(hb, 3)),
         hb_f=arr(hb_f),
         hb_sp2=arr(hb_sp2),
+        hb_qd=arr(hb_qd),
+        hb_qa=arr(hb_qa),
         xb=jnp.asarray(pad_idx(xb, 3)),
         xb_f=arr(xb_f),
         q_topo=arr(q_topo),
@@ -636,6 +654,8 @@ def build_stacked_gfnff_topology(
             hb=jnp.asarray(pad_i(t.hb, n_h, [d0, d0 + 1, d0 + 2])),
             hb_f=jnp.asarray(pad_f(t.hb_f, n_h)),
             hb_sp2=jnp.asarray(pad_f(t.hb_sp2, n_h)),
+            hb_qd=jnp.asarray(pad_f(t.hb_qd, n_h)),
+            hb_qa=jnp.asarray(pad_f(t.hb_qa, n_h)),
             xb=jnp.asarray(pad_i(t.xb, n_x, [d0, d0 + 1, d0 + 2])),
             xb_f=jnp.asarray(pad_f(t.xb_f, n_x)),
             q_topo=jnp.asarray(pad_atom(t.q_topo, 0.0)),

@@ -502,3 +502,32 @@ def test_ester_and_secondary_amine_geometry():
     cnc = np.degrees(np.arccos(v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2))))
     tgt, tol = _target("dma_cnc")
     assert abs(cnc - tgt) < tol
+
+
+def test_charged_hydrogen_bonds_anchored():
+    """Charge-assisted H-bonds (CAHB): NH4+...OH2 and HO-...H2O must bind
+    at their CCSD(T) anchors. Both complexes were UNBOUND (-4.4 / -9.1
+    kcal/mol) before the khb_qd/khb_qa term — the EEQ partial-charge scale
+    cannot carry ion-dipole attraction through the ES term, so the
+    explicit HB correction carries it, gated to ion topologies (neutral
+    H-bond fixtures are bit-identical)."""
+    from firecode_tpu.opt.fire import optimize_batch
+
+    def de(zx, charge, site, tgt, sep_from):
+        z, x = zx
+
+        def e(xx):
+            calc = GFNFF(np.asarray(z), np.asarray(xx), charge=charge,
+                         charge_site=site, site_charge_target=tgt)
+            res = optimize_batch(calc, jnp.asarray(xx)[None], fmax=0.02,
+                                 max_steps=4000)
+            return float(res.energy[0])
+
+        xs = np.asarray(x).copy()
+        xs[sep_from:] += np.array([40.0, 0.0, 0.0])
+        return e(xs) - e(x)
+
+    tgt, tol = _target("chb_nh4_water_de")
+    assert abs(de(fx.ammonium_water(), 1, [0, 1, 2, 3, 4], 1.0, 5) - tgt) < tol
+    tgt, tol = _target("chb_hydroxide_water_de")
+    assert abs(de(fx.hydroxide_water(), -1, [0, 1], -1.0, 2) - tgt) < tol
