@@ -190,12 +190,14 @@ def run_ion_fit(steps: int = 400, lr: float = 0.02, verbose: bool = True) -> dic
     theta = jnp.asarray([
         DEFAULT_ION_PARAMS["k_qr_an"], logit(DEFAULT_ION_PARAMS["hct_an"]),
         DEFAULT_ION_PARAMS["k_qr_cat"], logit(DEFAULT_ION_PARAMS["hct_cat"]),
+        logit(min(DEFAULT_ION_PARAMS["hct_alkyl_scale"], 1.19)),
     ])
 
     def unpack(theta):
         return {
             "k_qr_an": theta[0], "hct_an": 1.2 * jax.nn.sigmoid(theta[1]),
             "k_qr_cat": theta[2], "hct_cat": 1.2 * jax.nn.sigmoid(theta[3]),
+            "hct_alkyl_scale": 1.2 * jax.nn.sigmoid(theta[4]),
         }
 
     def loss(theta):

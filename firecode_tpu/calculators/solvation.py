@@ -95,6 +95,11 @@ DEFAULT_SOLV_PARAMS: dict = {
 DEFAULT_ION_PARAMS: dict = {
     "k_qr_an": 0.28,
     "hct_an": 0.45,
+    # alkyl C/H descreen anions LESS than heteroatoms (water still packs
+    # around a charged center past a methyl group): hct_an is scaled by
+    # this factor on Z in {1, 6} — the knob that fixes the formate/acetate
+    # burial asymmetry
+    "hct_alkyl_scale": 1.0,
     "k_qr_cat": 0.0,
     "hct_cat": 0.45,
 }
@@ -163,13 +168,18 @@ def qeq_charges(
     return s[:, 0] + lam * s[:, 1]
 
 
-def born_radii_hct(coords: jnp.ndarray, rho: jnp.ndarray, hct: float = 0.8) -> jnp.ndarray:
-    """HCT pairwise-descreened effective Born radii [N]."""
+def born_radii_hct(coords: jnp.ndarray, rho: jnp.ndarray, hct=0.8) -> jnp.ndarray:
+    """HCT pairwise-descreened effective Born radii [N].
+
+    hct: scalar descreening factor, or a per-atom [N] vector (the ion path
+    descreens alkyl C/H less — water packs around a charged center even
+    where an alkyl group formally buries it)."""
     n = coords.shape[0]
     diff = coords[:, None, :] - coords[None, :, :]
     r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
     rho_i = rho[:, None]
-    rho_j = rho[None, :] * hct  # HCT scaling factor
+    hct_j = hct[None, :] if jnp.ndim(hct) else hct
+    rho_j = rho[None, :] * hct_j  # HCT scaling factor
     l_ij = jnp.maximum(jnp.abs(r - rho_j), rho_i)
     u_ij = r + rho_j
     # descreening integral term (0 when the pair does not overlap atom i)
@@ -188,7 +198,7 @@ def born_radii_hct(coords: jnp.ndarray, rho: jnp.ndarray, hct: float = 0.8) -> j
 
 def gb_polar_energy(
     coords: jnp.ndarray, charges: jnp.ndarray, rho: jnp.ndarray, epsilon: float,
-    hct: float = 0.8,
+    hct=0.8,
 ) -> jnp.ndarray:
     """Still's GB polar solvation energy (kcal/mol)."""
     rb = born_radii_hct(coords, rho, hct)
@@ -278,6 +288,11 @@ def solvation_energy_fn(
             shrink = jnp.clip(p_ion[f"k_qr_{tag}"] * jnp.abs(q), -0.5, 0.6)
             rho_ = rho_ * (1.0 - shrink)
             hct = p_ion[f"hct_{tag}"]
+            if tag == "an":
+                alkyl = jnp.asarray(np.isin(z, (1, 6)), coords.dtype)
+                hct = hct * (
+                    1.0 + (p_ion.get("hct_alkyl_scale", 1.0) - 1.0) * alkyl
+                )
         return p["polar_scale"] * gb_polar_energy(
             coords, q, rho_, epsilon, hct
         ) + sasa_energy(coords, rho_, p["gamma"])
