@@ -22,6 +22,32 @@ import time
 import numpy as np
 
 
+def _setup_compile_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache inside the repo.
+
+    The round-4 driver bench lost every optional lane because the 1M stage's
+    cold compile took 605 s in the driver environment (61 s on the builder's
+    warmed session). The builder warms this cache during the round and commits
+    it, so a driver run on the same backend/jax version hits warm compiles.
+    Entries are small (~10-100 KB each). Override with
+    JAX_COMPILATION_CACHE_DIR; disable with FIRECODE_BENCH_NO_CACHE=1.
+    """
+    if os.environ.get("FIRECODE_BENCH_NO_CACHE") == "1":
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+
+
 def make_ensemble(n_confs: int, seed: int = 0, dup: int = 4, chunk: int = 0):
     """Synthetic conformer ensemble with real structural diversity:
     n_confs/dup distinct ROTAMERS of hexadecane (random angles on every
@@ -529,6 +555,7 @@ def _rotamer_perms(atomnos, base_coords) -> np.ndarray:
 
 
 def main() -> None:
+    _setup_compile_cache()
     mode = os.environ.get("FIRECODE_BENCH_MODE")
     if mode in ("csearch", "gfnff", "mtd", "e2e", "recall"):
         fn = {
@@ -561,11 +588,12 @@ def main() -> None:
     block = int(os.environ.get("FIRECODE_BENCH_BLOCK", "512"))  # swept 512/1024/2048 on v5e: 0.722/0.738/0.986 s
     block = min(block, max(n_confs // 2, 2))
 
+    t_gen0 = time.perf_counter()
     atomnos, coords = make_ensemble(n_confs)
     perms = _rotamer_perms(atomnos, np.asarray(coords[0]))
 
     # pass 1: compile; pass 2: steady-state timing
-    n_kept, _, _ = run_cascade(coords, atomnos, block, perms)
+    n_kept, compile_pass_s, _ = run_cascade(coords, atomnos, block, perms)
     n_kept2, elapsed, stages = run_cascade(coords, atomnos, block, perms)
     assert n_kept == n_kept2
 
@@ -577,21 +605,35 @@ def main() -> None:
         "n_kept": n_kept,
         "n_confs": n_confs,
         "n_rotamer_perms": int(len(perms)),
+        "compile_pass_s": round(compile_pass_s, 3),
         "stages": stages,
     }
     emit(record)  # headline is now safe regardless of what follows
 
     on_tpu = jax.default_backend() == "tpu"
 
-    # Optional stages, cheapest-first, each guarded by (a) an estimated
-    # cost vs the remaining budget and (b) try/except so a single stage
-    # fault cannot cost the later ones. Estimates are round-3 measurements
-    # on one v5e chip (incl. compile), padded ~50%.
-    def stage(name: str, est_s: float, fn) -> None:
+    # Adaptive stage-cost estimates (round-4 lesson: hard-coded estimates
+    # from a warmed builder session under-predicted the driver's cold
+    # compiles 10x, so the 1M stage ate the whole budget and every later
+    # lane was skipped). Each estimate below is split (runtime, compile);
+    # the compile part is scaled by how expensive THIS run's 100k compile
+    # pass was vs the builder's warm-cache measurement, so a cold/slow
+    # environment predicts its own cost honestly. The generation+compile
+    # wall of the headline (everything before the steady-state pass) is
+    # the probe.
+    probe_s = time.perf_counter() - t_gen0 - elapsed
+    REF_PROBE_S = 20.0  # builder measurement with warm committed cache, v5e
+    compile_scale = max(1.0, probe_s / REF_PROBE_S)
+    record["compile_scale"] = round(compile_scale, 2)
+
+    def stage(name: str, runtime_est_s: float, compile_est_s: float, fn) -> None:
         if not on_tpu:
             return
+        est_s = runtime_est_s + compile_est_s * compile_scale
         if remaining() < est_s:
-            record[name] = {"skipped": f"budget ({remaining():.0f}s left, est {est_s:.0f}s)"}
+            record[name] = {
+                "skipped": f"budget ({remaining():.0f}s left, est {est_s:.0f}s)"
+            }
             emit(record)
             return
         try:
@@ -601,11 +643,20 @@ def main() -> None:
         emit(record)
 
     if os.environ.get("FIRECODE_BENCH_SKIP_PALLAS_AB") != "1":
-        stage("pallas_ab", 40, bench_pallas_ab)
+        stage("pallas_ab", 10, 30, bench_pallas_ab)
         ab = record.get("pallas_ab")
         if isinstance(ab, dict) and "skipped" not in ab:
             record.update(ab)  # rmsd_8k_{jnp,pallas}_ms at top level (r2/r3 shape)
             record.pop("pallas_ab", None)
+
+    # Side lanes FIRST (round-4 lesson: the expensive 1M/10M stages ran
+    # before these and blew the budget, leaving csearch/gfnff/e2e skipped
+    # two rounds running). One-line summaries of CSEARCH_BENCH.json /
+    # GFNFF_BENCH.json / the e2e lane, sized to fit the budget; full-size
+    # lanes remain under FIRECODE_BENCH_MODE=...
+    stage("csearch", 10, 50, lambda: bench_csearch(n_candidates=65536))
+    stage("gfnff", 40, 80, lambda: bench_gfnff_opt(batch=1024, big=False))
+    stage("e2e", 60, 90, lambda: bench_e2e(n_out=1024))
 
     # 1M-conformer scale demonstration (the thesis of the rebuild: the
     # reference SKIPS pruning above 1e5 structures; here the full cascade,
@@ -622,21 +673,14 @@ def main() -> None:
 
     if os.environ.get("FIRECODE_BENCH_XL", "1") != "0" and n_confs == 100000:
         del coords
-        stage("stages_1m", 75, _xl)
-
-    # One-line summaries of the side lanes (driver-verifiable versions of
-    # CSEARCH_BENCH.json / GFNFF_BENCH.json / the e2e lane), sized to fit
-    # the budget; the full-size lanes remain under FIRECODE_BENCH_MODE=...
-    stage("csearch", 60, lambda: bench_csearch(n_candidates=65536))
-    stage("gfnff", 120, lambda: bench_gfnff_opt(batch=1024, big=False))
-    stage("e2e", 150, lambda: bench_e2e(n_out=1024))
+        stage("stages_1m", 15, 60, _xl)
 
     # 10M-conformer scale demonstration: 100x the reference's hard prune
     # ceiling. 6 GB of f32 coordinates — generation is chunked into a
     # donated buffer and the grid MOI engine row-chunks its candidate
     # gathers, so the whole cascade fits one 16 GB chip. dup=100 models
     # heavy embed oversampling. Set FIRECODE_BENCH_XXL=0 to skip, or raise
-    # FIRECODE_BENCH_BUDGET_S to make room for it (~6 min incl. compiles).
+    # FIRECODE_BENCH_BUDGET_S to make room for it.
     def _xxl():
         atomnos_xxl, coords_xxl = make_ensemble(10_000_000, dup=100, chunk=1_000_000)
         _, compile_10m, _ = run_cascade(coords_xxl, atomnos_xxl, block, perms)
@@ -646,7 +690,7 @@ def main() -> None:
         return stages_10m
 
     if os.environ.get("FIRECODE_BENCH_XXL", "1") != "0" and n_confs == 100000:
-        stage("stages_10m", 400, _xxl)
+        stage("stages_10m", 60, 120, _xxl)
 
 
 if __name__ == "__main__":

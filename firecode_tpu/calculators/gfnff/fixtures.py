@@ -283,7 +283,9 @@ def hydroxide_water() -> tuple[np.ndarray, np.ndarray]:
     # donor H on the O2->O1 axis (near-linear O-H...O)
     hd = o2 + 1.0 * np.array([-1.0, 0.0, 0.0])
     th = D(104.5)
-    hw = o2 + 0.9572 * np.array([np.cos(th) * -1.0, np.sin(th), 0.0]) * -1.0
+    # spectator H at the water angle from the donor O-H axis ([-1,0,0])
+    hw = o2 + 0.9572 * (np.cos(th) * np.array([-1.0, 0.0, 0.0])
+                        + np.sin(th) * np.array([0.0, 1.0, 0.0]))
     z = np.array([8, 1, 8, 1, 1])
     return z, np.vstack([o1, h1, o2, hd, hw])
 

@@ -271,15 +271,22 @@ class GlobalParams:
     #   (anchored on the formic-acid cyclic dimer De 18.6, CCSD(T)/CBS)
     khb_w: float = 1.4  # Gaussian width (A^-2) around r0_hb
     # charge-assisted H-bond boosts (ion topologies only; strength factor
-    # 1 + khb_qd*clip(q_d+q_h,0,2) + khb_qa*clip(-q_a,0,2)). Fitted by a
-    # 2x2 linear solve + one refinement against the CCSD(T)-quality
-    # charged-HB binding anchors: NH4+...OH2 De 20.6 (got 20.59) and
-    # HO-...H2O De 26.7 (got 26.68) — both complexes were UNBOUND (-4.4 /
-    # -9.1 kcal/mol) before the term (the EEQ partial-charge scale cannot
-    # carry ion-dipole attraction through the ES term). Neutral chemistry
-    # is untouched: the features are zero unless |total charge| > 0.5.
-    khb_qd: float = 23.186
-    khb_qa: float = 11.771
+    # 1 + khb_qd*clip(dq_d+dq_h-0.15,0,2) + khb_qa*clip(-dq_a-0.15,0,2),
+    # where dq is the EXCESS EEQ charge vs the same geometry solved
+    # neutral — so the boost localizes to triplets that actually hold the
+    # ion charge, and a remote neutral-region H-bond inside a large ion is
+    # NOT boosted (advisor r4; pinned by
+    # test_remote_neutral_hb_in_ion_not_charge_boosted). The 0.15 e
+    # deadzone zeroes the soft-site-constraint/EEQ long-range leak.
+    # Fitted by secant solves (scripts/fit_cahb.py) against the
+    # CCSD(T)-quality charged-HB binding anchors: NH4+...OH2 De 20.5
+    # (err +0.02) and HO-...H2O De 26.7 (err +0.05) — both complexes were
+    # UNBOUND (-4.4 / -9.1 kcal/mol) before the term (the EEQ
+    # partial-charge scale cannot carry ion-dipole attraction through the
+    # ES term). Neutral chemistry is untouched: the features are zero
+    # unless |total charge| > 0.5.
+    khb_qd: float = 45.398
+    khb_qa: float = 25.416
     r0_hb: float = 1.90  # H...A target distance (A)
     # halogen bond correction
     kxb: float = 1.5

@@ -414,6 +414,23 @@ def build_gfnff_topology(
 
     # ---------------- HB / XB triplets ----------------
     is_ion = abs(float(charge)) > 0.5
+    # Charge-assisted HB features use the EXCESS charge relative to the
+    # neutral parent (same geometry solved at charge=0, no site
+    # constraint), NOT absolute setup charges: an ordinary carbonyl
+    # acceptor carries q ~= -0.4 whether or not the molecule happens to be
+    # an ion elsewhere, so featuring absolute q boosted every neutral-
+    # region intramolecular H-bond inside an ion ~5x vs its neutral parent
+    # (advisor r4 medium finding). dq localizes the boost to triplets that
+    # actually hold the excess charge (NH4+ N-H donors, O of OH-).
+    if is_ion:
+        q_neutral = eeq_charges_np(
+            coords, atomnos, 0.0,
+            CHI[atomnos], ETA[atomnos], EEQ_ALPHA[atomnos], EEQ_CNF[atomnos],
+            COVALENT_RADII[atomnos],
+        )
+        dq = q_topo - q_neutral
+    else:
+        dq = np.zeros(n)
     hb, hb_f, hb_sp2, hb_qd, hb_qa = [], [], [], [], []
     bonded = {tuple(sorted(e)) for e in graph.edges}
     for d in range(n):
@@ -438,12 +455,16 @@ def build_gfnff_topology(
                 hb_sp2.append(
                     1.0 if int(atomnos[a]) == 8 and hyb[a] == SP2 else 0.0
                 )
+                # 0.15 e deadzone: the soft site constraint + EEQ's
+                # long-range equilibration leak ~0.1 e of apparent excess
+                # onto fragments that hold none of the ion charge; genuine
+                # charged sites carry 0.3+ e
                 hb_qd.append(
-                    float(np.clip(q_topo[d] + q_topo[h], 0.0, 2.0))
+                    float(np.clip(dq[d] + dq[h] - 0.15, 0.0, 2.0))
                     if is_ion else 0.0
                 )
                 hb_qa.append(
-                    float(np.clip(-q_topo[a], 0.0, 2.0)) if is_ion else 0.0
+                    float(np.clip(-dq[a] - 0.15, 0.0, 2.0)) if is_ion else 0.0
                 )
 
     xb, xb_f = [], []

@@ -551,9 +551,18 @@ def optimize_batch(
     def _scatter(res, n_real):
         nonlocal final_coords, final_energy, final_fmax, final_conv
         idx = jnp.asarray(cur_idx)
-        final_coords = final_coords.at[idx].set(res.coords[:n_real])
-        final_energy = final_energy.at[idx].set(res.energy[:n_real])
-        final_fmax = final_fmax.at[idx].set(res.fmax[:n_real])
+        # explicit casts: under x64 the calculator may return f64 while the
+        # accumulators carry the caller's dtype — an implicit f64->f32
+        # scatter is a FutureWarning today and a hard error in future JAX
+        final_coords = final_coords.at[idx].set(
+            res.coords[:n_real].astype(final_coords.dtype)
+        )
+        final_energy = final_energy.at[idx].set(
+            res.energy[:n_real].astype(final_energy.dtype)
+        )
+        final_fmax = final_fmax.at[idx].set(
+            res.fmax[:n_real].astype(final_fmax.dtype)
+        )
         final_conv = final_conv.at[idx].set(res.converged[:n_real])
 
     for r in range(restarts):

@@ -17,6 +17,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache (shared with bench.py): the suite's wall
+# clock is dominated by XLA-CPU compiles on a cold box; a committed warm
+# cache cuts it severalfold. Entries are keyed by backend+jax version, so
+# CPU-test and TPU-bench entries coexist in the same directory.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

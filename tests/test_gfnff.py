@@ -444,3 +444,41 @@ def test_warm_state_composes_with_constraints(ethanol_calc):
     scale = float(jnp.max(jnp.abs(f_ref)))
     assert float(jnp.max(jnp.abs(e_w - e_ref))) < 1e-8
     assert float(jnp.max(jnp.abs(f_w - f_ref))) < 1e-8 * max(scale, 1.0)
+
+
+def test_remote_neutral_hb_in_ion_not_charge_boosted():
+    """A neutral-region H-bond inside an ionic system must NOT receive the
+    charge-assisted boost (advisor r4): the hb_qd/hb_qa features use the
+    EXCESS charge vs the neutral-parent EEQ solve, which is ~0 away from
+    the charged site. System: NH4+ with a water dimer 15 A away (total
+    charge +1, site = NH4). The water-dimer donor triplet's features must
+    be ~0 while the NH4+ donor triplets toward the waters carry the
+    donor-side excess charge."""
+    from firecode_tpu.calculators.gfnff import build_gfnff_topology
+
+    z_aw, x_aw = fx.ammonium_water()   # [N,4xH, O,2xH]
+    z_wd, x_wd = fx.water_dimer()      # [O_a,H,H, O_d,H_d,H] (acceptor first)
+    # keep only NH4+ from the first fixture; park the dimer far away
+    z = np.concatenate([z_aw[:5], z_wd])
+    x = np.vstack([x_aw[:5], x_wd + np.array([15.0, 0.0, 0.0])])
+
+    top = build_gfnff_topology(
+        z, x, charge=1, charge_site=[0, 1, 2, 3, 4], site_charge_target=1.0
+    )
+    hb = np.asarray(top.hb)
+    qd = np.asarray(top.hb_qd)
+    qa = np.asarray(top.hb_qa)
+    assert len(hb), "expected HB triplets"
+
+    # triplets fully inside the remote water dimer: no boost
+    dimer_atoms = set(range(5, 11))
+    remote = np.array([all(int(i) in dimer_atoms for i in t) for t in hb])
+    assert remote.any(), "expected a water-dimer internal HB triplet"
+    assert float(np.max(qd[remote])) < 0.05
+    assert float(np.max(qa[remote])) < 0.05
+
+    # NH4+ donor triplets (donor N=0) carry the donor-side excess charge
+    # (~0.33 e raw -> ~0.17 after the 0.15 e leak deadzone)
+    nh4_donor = hb[:, 0] == 0
+    assert nh4_donor.any()
+    assert float(np.max(qd[nh4_donor])) > 0.1
