@@ -615,35 +615,37 @@ def main() -> None:
     # Adaptive stage-cost estimates (round-4 lesson: hard-coded estimates
     # from a warmed builder session under-predicted the driver's cold
     # compiles 10x, so the 1M stage ate the whole budget and every later
-    # lane was skipped). Each estimate below is split (runtime, compile);
-    # the compile part is scaled by how expensive THIS run's 100k compile
-    # pass was vs the builder's warm-cache measurement, so a cold/slow
-    # environment predicts its own cost honestly. The generation+compile
-    # wall of the headline (everything before the steady-state pass) is
-    # the probe.
-    probe_s = time.perf_counter() - t_gen0 - elapsed
-    REF_PROBE_S = 20.0  # builder measurement with warm committed cache, v5e
-    compile_scale = max(1.0, probe_s / REF_PROBE_S)
+    # lane was skipped). Each estimate is the stage's MEASURED warm-cache
+    # wall on the build box, scaled by how expensive THIS run's 100k
+    # cascade compile pass was vs its warm-cache baseline — the probe that
+    # tracks tunnel/compile slowness without the generation-transfer noise
+    # (generation wall varies 4x run-to-run on tunneled backends and is
+    # not representative of stage compiles).
+    REF_COMPILE_PASS_S = 12.0  # warm committed cache, this repo's TPU box
+    compile_scale = max(1.0, compile_pass_s / REF_COMPILE_PASS_S)
     record["compile_scale"] = round(compile_scale, 2)
 
-    def stage(name: str, runtime_est_s: float, compile_est_s: float, fn) -> None:
+    def stage(name: str, warm_wall_s: float, fn) -> None:
         if not on_tpu:
             return
-        est_s = runtime_est_s + compile_est_s * compile_scale
+        est_s = warm_wall_s * compile_scale
         if remaining() < est_s:
             record[name] = {
                 "skipped": f"budget ({remaining():.0f}s left, est {est_s:.0f}s)"
             }
             emit(record)
             return
+        t_stage = time.perf_counter()
         try:
             record[name] = fn()
         except Exception as err:  # noqa: BLE001 — scale/HW-fault-prone stages
             record[name] = {"skipped": repr(err)[:200]}
+        if isinstance(record[name], dict):
+            record[name]["wall_s"] = round(time.perf_counter() - t_stage, 1)
         emit(record)
 
     if os.environ.get("FIRECODE_BENCH_SKIP_PALLAS_AB") != "1":
-        stage("pallas_ab", 10, 30, bench_pallas_ab)
+        stage("pallas_ab", 45, bench_pallas_ab)
         ab = record.get("pallas_ab")
         if isinstance(ab, dict) and "skipped" not in ab:
             record.update(ab)  # rmsd_8k_{jnp,pallas}_ms at top level (r2/r3 shape)
@@ -654,9 +656,9 @@ def main() -> None:
     # two rounds running). One-line summaries of CSEARCH_BENCH.json /
     # GFNFF_BENCH.json / the e2e lane, sized to fit the budget; full-size
     # lanes remain under FIRECODE_BENCH_MODE=...
-    stage("csearch", 10, 50, lambda: bench_csearch(n_candidates=65536))
-    stage("gfnff", 40, 80, lambda: bench_gfnff_opt(batch=1024, big=False))
-    stage("e2e", 60, 90, lambda: bench_e2e(n_out=1024))
+    stage("csearch", 15, lambda: bench_csearch(n_candidates=65536))
+    stage("gfnff", 50, lambda: bench_gfnff_opt(batch=1024, big=False))
+    stage("e2e", 110, lambda: bench_e2e(n_out=1024))
 
     # 1M-conformer scale demonstration (the thesis of the rebuild: the
     # reference SKIPS pruning above 1e5 structures; here the full cascade,
@@ -673,7 +675,7 @@ def main() -> None:
 
     if os.environ.get("FIRECODE_BENCH_XL", "1") != "0" and n_confs == 100000:
         del coords
-        stage("stages_1m", 15, 60, _xl)
+        stage("stages_1m", 40, _xl)
 
     # 10M-conformer scale demonstration: 100x the reference's hard prune
     # ceiling. 6 GB of f32 coordinates — generation is chunked into a
@@ -690,7 +692,7 @@ def main() -> None:
         return stages_10m
 
     if os.environ.get("FIRECODE_BENCH_XXL", "1") != "0" and n_confs == 100000:
-        stage("stages_10m", 60, 120, _xxl)
+        stage("stages_10m", 170, _xxl)
 
 
 if __name__ == "__main__":

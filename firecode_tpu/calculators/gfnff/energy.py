@@ -440,6 +440,45 @@ def gfnff_energy_terms(
     terms["rep"] = 0.5 * jnp.sum(erep)
     terms["disp"] = 0.5 * jnp.sum(edisp)
 
+    # ---- ATM three-body dispersion (Axilrod-Teller-Muto) ----
+    # E9 = s9 * sum_{i<j<k} C9 (3 cos ti cos tj cos tk + 1) / (rij rjk rik)^3
+    # with D3-style zero damping f9 = 1/(1 + 6 ((4/3) rbar0/rbar)^16),
+    # rbar/rbar0 the geometric means of the pair distances / BJ radii.
+    # Triplets are neighbor-capped at topology setup (topology.py
+    # _ATM_CUTOFF); cos terms via the law of cosines, so only the three
+    # gathered pair distances are needed.
+    if top.atm.shape[0]:
+        ti, tj, tk = top.atm[:, 0], top.atm[:, 1], top.atm[:, 2]
+        rij = rm[ti, tj]
+        rjk = rm[tj, tk]
+        rik = rm[ti, tk]
+        r2ij, r2jk, r2ik = rij * rij, rjk * rjk, rik * rik
+        cosi = (r2ij + r2ik - r2jk) / (2.0 * rij * rik)
+        cosj = (r2ij + r2jk - r2ik) / (2.0 * rij * rjk)
+        cosk = (r2ik + r2jk - r2ij) / (2.0 * rik * rjk)
+        ang = 3.0 * cosi * cosj * cosk + 1.0
+        # cap the distance product: stacked-batch padding dummies sit
+        # ~1700 A out and the BACKWARD pass squares rprod^3 — (1e29)^2
+        # overflows f32 to inf and 0 * inf = NaN (cf. the r2d cap above).
+        # Real capped triplets contribute < 1e-18 kcal/mol.
+        rprod = jnp.minimum(rij * rjk * rik, 1.0e6)
+        # damping radii = katm_r0 * vdW radii sums (the D3 R0AB cutoff
+        # convention; D3 cutoffs are ~0.85 of vdW sums) — NOT the fitted
+        # two-body BJ radii a1*rvdw+a2, which are far too small here
+        # (f9 = 0.24 on intramolecular H-H-H triplets): the two-body fit
+        # absorbed short-range dispersion into the bonded terms, so ATM
+        # must stay out of that range. Calibration: params.katm_r0.
+        r0 = p["katm_r0"] * top.atm_rvdw  # [T3, 3]
+        ratio2 = (
+            (16.0 / 9.0)
+            * (r0[:, 0] * r0[:, 1] * r0[:, 2] / rprod) ** (2.0 / 3.0)
+        )
+        r16 = ratio2**8  # ((4/3) rbar0 / rbar)^16
+        f9 = 1.0 / (1.0 + 6.0 * r16)
+        terms["atm"] = p["s9"] * jnp.sum(
+            top.atm_c9 * ang * f9 / (rprod * rprod * rprod)
+        )
+
     # ---- EEQ electrostatics ----
     if eeq == "none":
         # ES added externally (gfnff_energy_warm's detached warm solve)

@@ -263,6 +263,12 @@ class GlobalParams:
     a1: float = 0.45
     a2: float = 1.6  # R0 = a1*(rvdwA+rvdwB) + a2 [A]
     s8: float = 1.2  # strength of the r^-8 channel
+    s9: float = 1.0  # ATM three-body strength (D4 convention; 0 = off)
+    # ATM zero-damping radius scale on the vdW radii sums: 0.85 puts the
+    # benzene-sandwich (3.9 A) ATM interaction at +0.22 kcal/mol — the D3
+    # literature value — while intramolecular triplet sums stay ~0.01
+    # kcal/mol (the two-body fit absorbed that range into bonded terms)
+    katm_r0: float = 0.85
     # EEQ electrostatics
     es_scale: float = 1.0
     # hydrogen bond correction (on top of EEQ+disp)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from firecode_tpu.calculators.gfnff.params import (
+    AU_C6_TO_KCAL_A6,
     BOND_F,
     STRETCH_F,
     C6_FREE,
@@ -53,6 +54,12 @@ _XB_ACCEPTOR_Z = (7, 8)
 _HB_ACC_F = {7: 0.9, 8: 1.0, 9: 0.55}
 _HB_DON_F = {7: 0.80, 8: 1.0}
 _XB_F = {17: 0.55, 35: 1.0, 53: 1.45}
+
+# ATM three-body dispersion neighbor cap (A): triplets with any setup-
+# geometry pair beyond this are dropped — their r^-9 envelope contributes
+# < 1e-4 kcal/mol each. Eh*a0^9 -> kcal/mol*A^9 for the C9 coefficients.
+_ATM_CUTOFF = 6.0
+AU_C9_TO_KCAL_A9 = 627.509474 * 0.529177210903**9
 
 
 class GFNFFTopology(NamedTuple):
@@ -137,6 +144,15 @@ class GFNFFTopology(NamedTuple):
     site_b: jnp.ndarray  # f[N] membership of the constrained group
     site_c: float  # target net charge of the group
     site_k: float  # penalty stiffness (kcal/mol/e^2); 0 = off
+    # ATM three-body dispersion triplets (Axilrod-Teller-Muto, the term of
+    # published GFN-FF previously omitted). Neighbor-capped at setup: only
+    # triplets whose three pairs are all nonbonded-eligible (mask_nb) AND
+    # within _ATM_CUTOFF of each other at the setup geometry — beyond that
+    # the r^-9 envelope is < 1e-4 kcal/mol per triplet. c9 = 0 on padded
+    # slots makes them inert.
+    atm: jnp.ndarray  # i32[T3, 3] i < j < k
+    atm_c9: jnp.ndarray  # f[T3] C9 coefficient (kcal/mol A^9)
+    atm_rvdw: jnp.ndarray  # f[T3, 3] vdW radius sums of pairs (ij, jk, ik)
 
 
 def _hybridization(graph, atomnos, coords) -> np.ndarray:
@@ -488,6 +504,41 @@ def build_gfnff_topology(
     for c, xx, a in xb:
         mask_hb_pair[xx, a] = mask_hb_pair[a, xx] = 1.0
 
+    # ---------------- ATM three-body dispersion triplets ----------------
+    # neighbor-capped: all three pairs within _ATM_CUTOFF at the setup
+    # geometry (the r^-9 envelope makes longer triplets < 1e-4 kcal/mol
+    # each). Bonded pairs are NOT excluded — the D3/D4 convention keeps
+    # every triplet and lets the zero-damping kill the bonded range (f9 ~
+    # 2e-7 at covalent distances); a stacking dimer's dominant triplets
+    # have two atoms in one monomer. c9 = sqrt(C6_i C6_j C6_k) in a.u.,
+    # converted to kcal/mol A^9.
+    r_setup = np.sqrt(
+        np.sum((coords[:, None, :] - coords[None, :, :]) ** 2, axis=-1)
+    )
+    elig = (r_setup < _ATM_CUTOFF) & ~np.eye(n, dtype=bool)
+    c6_au = C6_FREE[atomnos] / AU_C6_TO_KCAL_A6
+    atm_trip: list[tuple[int, int, int]] = []
+    for i in range(n):
+        js = np.where(elig[i])[0]
+        js = js[js > i]
+        for jpos, j in enumerate(js):
+            ks = js[jpos + 1:]
+            for k in ks[elig[j, ks]]:
+                atm_trip.append((i, j, int(k)))
+    if atm_trip:
+        atm_arr = np.asarray(atm_trip, dtype=np.int32)
+        ti, tj, tk = atm_arr[:, 0], atm_arr[:, 1], atm_arr[:, 2]
+        atm_c9 = (
+            np.sqrt(c6_au[ti] * c6_au[tj] * c6_au[tk]) * AU_C9_TO_KCAL_A9
+        )
+        atm_rvdw = np.stack(
+            [rvdw_sum[ti, tj], rvdw_sum[tj, tk], rvdw_sum[ti, tk]], axis=-1
+        )
+    else:
+        atm_arr = np.zeros((0, 3), dtype=np.int32)
+        atm_c9 = np.zeros(0)
+        atm_rvdw = np.zeros((0, 3))
+
     def arr(a, dtype=np.float64):
         return jnp.asarray(np.asarray(a, dtype=dtype))
 
@@ -549,6 +600,9 @@ def build_gfnff_topology(
         site_b=arr(site_b),
         site_c=site_c,
         site_k=k_ct,
+        atm=jnp.asarray(atm_arr),
+        atm_c9=arr(atm_c9),
+        atm_rvdw=arr(atm_rvdw),
     )
 
 
@@ -602,6 +656,7 @@ def build_stacked_gfnff_topology(
 
     n_b, n_a, n_t = rows("bonds"), rows("angles"), rows("torsions")
     n_o, n_h, n_x = rows("oop"), rows("hb"), rows("xb")
+    n_3 = rows("atm")
 
     def pad_lane(t: GFNFFTopology, d0: int) -> GFNFFTopology:
         # d0: first dummy slot of this lane (distinct helix positions)
@@ -683,6 +738,16 @@ def build_stacked_gfnff_topology(
             site_b=jnp.asarray(pad_atom(t.site_b, 0.0)),
             site_c=jnp.asarray(float(t.site_c)),
             site_k=jnp.asarray(float(t.site_k)),
+            atm=jnp.asarray(pad_i(t.atm, n_3, [d0, d0 + 1, d0 + 2])),
+            atm_c9=jnp.asarray(pad_f(t.atm_c9, n_3)),  # 0 -> inert slot
+            atm_rvdw=jnp.asarray(
+                np.concatenate(
+                    [
+                        np.asarray(t.atm_rvdw).reshape(-1, 3),
+                        np.ones((n_3 - len(t.atm_c9), 3)),
+                    ]
+                )
+            ),
         )
 
     padded = [pad_lane(t, d0) for t, d0 in zip(tops, sizes)]

@@ -44,7 +44,12 @@ def init_params(key: jax.Array, seed_scale: float = 0.1) -> dict[str, Any]:
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     return {
         "embed": seed_scale * jax.random.normal(k1, (MAX_Z + 1, EMBED_DIM)),
-        "w1": seed_scale * jax.random.normal(k2, (N_RBF * EMBED_DIM, HIDDEN)),
+        # +1 input: the per-atom share of the TOTAL charge (charge/N) — the
+        # minimal charge conditioning that lets one parameter set label
+        # both neutral and ionic species without corrupting neutral
+        # training (an anion and its neutral parent share geometries but
+        # not energies; a charge-blind model would average them)
+        "w1": seed_scale * jax.random.normal(k2, (N_RBF * EMBED_DIM + 1, HIDDEN)),
         "b1": jnp.zeros((HIDDEN,)),
         # one SchNet-style continuous-filter interaction layer: the filter is
         # a linear map of the pair RBF, the message the filtered neighbor
@@ -58,11 +63,17 @@ def init_params(key: jax.Array, seed_scale: float = 0.1) -> dict[str, Any]:
         "w3": seed_scale * jax.random.normal(k4, (HIDDEN, 1)),
         "b3": jnp.zeros((1,)),
         "atom_ref": jnp.zeros((MAX_Z + 1,)),  # per-element reference energies
+        "q_ref": jnp.zeros(()),  # linear total-charge baseline (ionization)
     }
 
 
-def mlip_energy(params: dict, atomnos: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
-    """Total energy of one structure (kcal/mol). Pure; autodiff-safe."""
+def mlip_energy(
+    params: dict, atomnos: jnp.ndarray, coords: jnp.ndarray, charge=0.0
+) -> jnp.ndarray:
+    """Total energy of one structure (kcal/mol). Pure; autodiff-safe.
+
+    charge: total molecular charge, fed to every atom as charge/N_real —
+    the conditioning input that separates ionic from neutral labels."""
     n = coords.shape[0]
     diff = coords[:, None, :] - coords[None, :, :]
     r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
@@ -72,6 +83,9 @@ def mlip_energy(params: dict, atomnos: jnp.ndarray, coords: jnp.ndarray) -> jnp.
     z_emb = params["embed"][atomnos]  # [N, E]
     # invariant per-atom descriptor: sum_j rbf(r_ij) (x) emb(z_j)
     desc = jnp.einsum("ijr,je->ire", basis, z_emb).reshape(n, -1)
+    n_real = jnp.maximum(jnp.sum(atomnos > 0), 1)
+    q_feat = jnp.full((n, 1), jnp.asarray(charge, desc.dtype) / n_real, desc.dtype)
+    desc = jnp.concatenate([desc, q_feat], axis=-1)
 
     h = jnp.tanh(desc @ params["w1"] + params["b1"])
     # interaction layer: message m_i = sum_j filter(r_ij) * h_j
@@ -81,15 +95,18 @@ def mlip_energy(params: dict, atomnos: jnp.ndarray, coords: jnp.ndarray) -> jnp.
     h = jnp.tanh(h @ params["w2"] + params["b2"])
     e_atom = (h @ params["w3"] + params["b3"])[:, 0] + params["atom_ref"][atomnos]
     # Z = 0 lanes are padding (bucketed variable-size batches): contribute 0
-    return jnp.sum(jnp.where(atomnos > 0, e_atom, 0.0))
+    return jnp.sum(jnp.where(atomnos > 0, e_atom, 0.0)) + jnp.asarray(
+        charge, coords.dtype
+    ) * params["q_ref"]
 
 
 class MLIPCalculator(Calculator):
-    def __init__(self, params: dict, atomnos: np.ndarray):
+    def __init__(self, params: dict, atomnos: np.ndarray, charge: float = 0.0):
         self.params = jax.tree.map(jnp.asarray, params)
         atomnos_j = jnp.asarray(np.asarray(atomnos), dtype=jnp.int32)
         super().__init__(
-            lambda coords: mlip_energy(self.params, atomnos_j, coords), name="mlip"
+            lambda coords: mlip_energy(self.params, atomnos_j, coords, charge),
+            name="mlip",
         )
 
     def save(self, path: str) -> None:
@@ -97,12 +114,16 @@ class MLIPCalculator(Calculator):
         np.savez_compressed(path, **flat)
 
     @classmethod
-    def load(cls, path: str, atomnos: np.ndarray) -> "MLIPCalculator":
+    def load(
+        cls, path: str, atomnos: np.ndarray, charge: float = 0.0
+    ) -> "MLIPCalculator":
         data = np.load(path)
         # "__"-prefixed entries are checkpoint metadata (teacher provenance,
         # corpus size), not parameters
         return cls(
-            {k: data[k] for k in data.files if not k.startswith("__")}, atomnos
+            {k: data[k] for k in data.files if not k.startswith("__")},
+            atomnos,
+            charge,
         )
 
 
@@ -239,23 +260,37 @@ def distill_systems(
     """Distill one shared parameter set from a teacher across SEVERAL
     molecules (element-transferable training; VERDICT round-1 item 9).
 
-    teacher_factory(atomnos, coords) -> Calculator builds the teacher per
-    system. All systems are padded to a common atom count with Z = 0 lanes
-    (masked in mlip_energy) so the whole multi-composition training set is
-    one jitted batch. Returns the trained parameter pytree.
+    teacher_factory(atomnos, coords[, charge=..]) -> Calculator builds the
+    teacher per system. Systems are (z, coords) or (z, coords, charge) —
+    charged entries use the charge-conditioned student input and a teacher
+    built with the system's charge (the site-constrained GFN-FF for ions).
+    All systems are padded to a common atom count with Z = 0 lanes (masked
+    in mlip_energy) so the whole multi-composition training set is one
+    jitted batch. Returns the trained parameter pytree.
     """
+    import inspect
+
     import optax
 
     log = logfunction or (lambda s: None)
     key = jax.random.PRNGKey(seed)
-    n_max = max(len(z) for z, _ in systems)
+    # entries: (z, x) | (z, x, charge) | (z, x, charge, site, site_target)
+    systems = [
+        s if len(s) == 5 else (*s, 0.0, None, None)[:5] for s in systems
+    ]
+    n_max = max(len(z) for z, *_ in systems)
+    takes_charge = "charge" in inspect.signature(teacher_factory).parameters
 
-    all_z, all_x, all_e, all_f = [], [], [], []
-    for z, coords in systems:
+    all_z, all_x, all_e, all_f, all_q = [], [], [], [], []
+    for z, coords, q, site, site_tgt in systems:
         key, k_jit = jax.random.split(key)
         z = np.asarray(z)
         coords = np.asarray(coords, dtype=np.float32)
-        teacher = teacher_factory(z, coords)
+        teacher = (
+            teacher_factory(z, coords, charge=q, site=site, site_tgt=site_tgt)
+            if takes_charge
+            else teacher_factory(z, coords)
+        )
         samples = _augmented_samples(z, coords, n_samples, jitter, k_jit)
         e_ref, f_ref = teacher.energy_and_forces(jnp.asarray(samples))
         pad = n_max - len(z)
@@ -269,36 +304,44 @@ def distill_systems(
         all_x.append(x_pad)
         all_e.append(np.asarray(e_ref))
         all_f.append(f_pad)
+        all_q.append(np.full(n_samples, q, np.float32))
 
     z_np = np.concatenate(all_z)
     e_np = np.concatenate(all_e)
+    q_np = np.concatenate(all_q)
 
     # per-element baseline energies by least squares FIRST: absolute molecular
     # energies are hundreds of kcal/mol of per-element offset that a 2e-3
     # learning rate could never walk atom_ref across; the network then only
-    # has to learn the O(10 kcal/mol) geometric residual
+    # has to learn the O(10 kcal/mol) geometric residual. The total charge
+    # is one more design column (q_ref): an anion and its neutral parent
+    # share element counts but differ by ~a proton affinity.
     counts = np.stack(
         [np.bincount(z_row, minlength=MAX_Z + 1) for z_row in z_np]
     ).astype(np.float64)
     used = counts.sum(axis=0) > 0
     used[0] = False
-    ref, *_ = np.linalg.lstsq(counts[:, used], e_np.astype(np.float64), rcond=None)
+    design = np.concatenate([counts[:, used], q_np[:, None]], axis=1)
+    ref, *_ = np.linalg.lstsq(design, e_np.astype(np.float64), rcond=None)
     atom_ref0 = np.zeros(MAX_Z + 1)
-    atom_ref0[used] = ref
+    atom_ref0[used] = ref[:-1]
+    q_ref0 = ref[-1]
 
     z_b = jnp.asarray(z_np, jnp.int32)
     x_b = jnp.asarray(np.concatenate(all_x), jnp.float32)
     e_b = jnp.asarray(e_np, jnp.float32)
     f_b = jnp.asarray(np.concatenate(all_f), jnp.float32)
+    q_b = jnp.asarray(q_np, jnp.float32)
 
     key, k_init = jax.random.split(key)
     params = jax.tree.map(
         lambda x: x.astype(jnp.float32), init_params(k_init)
     )
     params["atom_ref"] = jnp.asarray(atom_ref0, jnp.float32)
+    params["q_ref"] = jnp.asarray(q_ref0, jnp.float32)
 
-    def e_and_f(p, z, x):
-        e_fn = lambda c: mlip_energy(p, z, c)
+    def e_and_f(p, z, x, q):
+        e_fn = lambda c: mlip_energy(p, z, c, q)
         e, g = jax.value_and_grad(e_fn)(x)
         return e, -g
 
@@ -306,8 +349,8 @@ def distill_systems(
     minibatch = min(256, n_data)
 
     def loss_fn(p, idx):
-        z, x = z_b[idx], x_b[idx]
-        e, f = jax.vmap(lambda zz, xx: e_and_f(p, zz, xx))(z, x)
+        z, x, q = z_b[idx], x_b[idx], q_b[idx]
+        e, f = jax.vmap(lambda zz, xx, qq: e_and_f(p, zz, xx, qq))(z, x, q)
         mask = (z > 0)[..., None]
         return jnp.mean((e - e_b[idx]) ** 2) + force_weight * jnp.mean(
             jnp.where(mask, (f - f_b[idx]) ** 2, 0.0)
@@ -408,6 +451,16 @@ def _chno_training_systems() -> list[tuple[np.ndarray, np.ndarray]]:
         ]),
     ))
 
+    # beyond CHNO (VERDICT r4 item 6): sulfur and halogen chemistry from
+    # the literature fixture set
+    raw.append(fx.h2s())
+    raw.append(fx.methanethiol())
+    raw.append(fx.dimethyl_sulfide())
+    raw.append(fx.thiophene())
+    for hal in (9, 17, 35):
+        raw.append(fx.methyl_halide(hal))
+        raw.append(fx.hydrogen_halide(hal))
+
     # pre-relax with the native GFN-FF regardless of the teacher: a host-
     # subprocess teacher (XTBHostCalculator) cannot run inside the jitted
     # FIRE while_loop (its energy_and_forces needs concrete arrays), and the
@@ -420,6 +473,15 @@ def _chno_training_systems() -> list[tuple[np.ndarray, np.ndarray]]:
         calc = GFNFF(np.asarray(z), np.asarray(coords, dtype=np.float64))
         res = optimize_batch(calc, coords[None].astype(np.float64), fmax=0.05, max_steps=2000)
         systems.append((z, np.asarray(res.coords[0], dtype=np.float64)))
+
+    # charged species, relaxed under the site-constrained GFN-FF teacher —
+    # the exact geometries/charges the pKa workflow produces
+    # (fit_solvation.ion_cases: hydroxide/methoxide/formate/acetate anions,
+    # ammonium/methylammonium cations)
+    from firecode_tpu.calculators.fit_solvation import ion_cases
+
+    for name, (z, x, charge, site, tgt) in ion_cases().items():
+        systems.append((np.asarray(z), np.asarray(x), float(charge), site, tgt))
     return systems
 
 
@@ -435,11 +497,19 @@ def pick_teacher(name: str = "auto"):
     if name == "xtb":
         from firecode_tpu.calculators.xtb_io import XTBHostCalculator
 
-        return name, lambda z, c: XTBHostCalculator(z)
+        return name, (
+            lambda z, c, charge=0.0, site=None, site_tgt=None:
+            XTBHostCalculator(z, charge=int(charge))
+        )
     if name == "gfnff":
         from firecode_tpu.calculators.gfnff import GFNFF
 
-        return name, lambda z, c: GFNFF(z, c)
+        return name, (
+            lambda z, c, charge=0.0, site=None, site_tgt=None: GFNFF(
+                z, c, charge=int(charge), charge_site=site,
+                site_charge_target=site_tgt,
+            )
+        )
     from firecode_tpu.calculators.reactive_ff import ReactiveFF
 
     return "liteff-r", lambda z, c: ReactiveFF(z)
@@ -470,6 +540,137 @@ def train_default_checkpoint(
     return path
 
 
+def evaluate_checkpoint(path: str | None = None, seed: int = 12345) -> dict:
+    """Held-out evaluation of a checkpoint (VERDICT r4 item 6) ->
+    MLIP_EVAL.json content.
+
+    1. Held-out MAE vs the teacher: FRESH augmented samples (different
+       seed than training) for every corpus system, energy MAE and force
+       RMSE per family (neutral CHNO / S+halogen / ions).
+    2. Anchor subset at <= 2x the GFN-FF tolerance: ethane torsion
+       barrier, butane gauche-anti gap, water-dimer binding — the physics
+       the pipeline consumes from the in-box tier.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from firecode_tpu.calculators.gfnff import GFNFF, fixtures as fx
+    from firecode_tpu.opt.fire import optimize_batch
+
+    path = path or DEFAULT_CHECKPOINT
+    key = jax.random.PRNGKey(seed)
+    _, factory = pick_teacher("gfnff")
+    systems = _chno_training_systems()
+
+    def family(z, q):
+        if abs(q) > 0.5:
+            return "ions"
+        if any(int(zz) not in (1, 6, 7, 8) for zz in np.asarray(z)):
+            return "s_halogen"
+        return "chno"
+
+    held_out: dict[str, dict] = {}
+    for entry in systems:
+        z, x, q, site, tgt = (*entry, 0.0, None, None)[:5]
+        key, k_jit = jax.random.split(key)
+        samples = _augmented_samples(z, x, 32, 0.12, k_jit)
+        teacher = factory(np.asarray(z), np.asarray(x), charge=q, site=site,
+                          site_tgt=tgt)
+        e_t, f_t = teacher.energy_and_forces(jnp.asarray(samples))
+        student = MLIPCalculator.load(path, np.asarray(z), q)
+        e_s, f_s = student.energy_and_forces(jnp.asarray(samples))
+        fam = held_out.setdefault(
+            family(z, q), {"e_abs_err": [], "f_sq_err": []}
+        )
+        fam["e_abs_err"].extend(np.abs(np.asarray(e_s - e_t)).tolist())
+        fam["f_sq_err"].extend(
+            np.mean(np.asarray(f_s - f_t) ** 2, axis=(1, 2)).tolist()
+        )
+    families = {
+        name: {
+            "e_mae_kcal": round(float(np.mean(v["e_abs_err"])), 3),
+            "f_rmse_kcal_A": round(float(np.sqrt(np.mean(v["f_sq_err"]))), 3),
+            "n_samples": len(v["e_abs_err"]),
+        }
+        for name, v in held_out.items()
+    }
+
+    # anchor subset at <= 2x tolerance
+    from firecode_tpu.graphs import graphize
+    from firecode_tpu.ops.torsion_ops import rotate_dihedral
+    from firecode_tpu.torsions import find_torsions
+
+    anchors = {}
+
+    def relax(z, x, q=0.0):
+        calc = MLIPCalculator.load(path, np.asarray(z), q)
+        res = optimize_batch(calc, jnp.asarray(x, jnp.float32)[None],
+                             fmax=0.05, max_steps=2000)
+        return np.asarray(res.coords[0]), float(res.energy[0])
+
+    def sp(z, x, q=0.0):
+        calc = MLIPCalculator.load(path, np.asarray(z), q)
+        e, _ = calc.energy_and_forces(jnp.asarray(x, jnp.float32))
+        return float(e)
+
+    def record_anchor(name, value):
+        tgt, tol = fx.TARGETS[name]
+        anchors[name] = {
+            "value": round(value, 3), "target": tgt, "tol_2x": 2 * tol,
+            "ok": bool(abs(value - tgt) <= 2 * tol),
+        }
+
+    # ethane rigid torsion barrier
+    z, x = fx.ethane()
+    x0, e0 = relax(z, x)
+    graph = graphize(np.asarray(z), x0)
+    tor = find_torsions(graph, np.asarray(z), x0)[0]
+    x_ecl = np.asarray(rotate_dihedral(
+        jnp.asarray(x0, jnp.float32)[None],
+        jnp.asarray(np.asarray(tor.quadruplet, np.int32)),
+        jnp.asarray([60.0], jnp.float32), jnp.asarray(tor.mask),
+    )[0])
+    record_anchor("ethane_barrier", sp(z, x_ecl) - e0)
+
+    # butane gauche-anti gap
+    z, x = fx.butane()
+    x_anti, e_anti = relax(z, x)
+    graph = graphize(np.asarray(z), x_anti)
+    tors = find_torsions(graph, np.asarray(z), x_anti)
+    cc = max(tors, key=lambda t: int(np.sum(t.mask)))
+    x_g = np.asarray(rotate_dihedral(
+        jnp.asarray(x_anti, jnp.float32)[None],
+        jnp.asarray(np.asarray(cc.quadruplet, np.int32)),
+        jnp.asarray([120.0], jnp.float32), jnp.asarray(cc.mask),
+    )[0])
+    _, e_g = relax(z, x_g)
+    record_anchor("butane_gauche", e_g - e_anti)
+
+    # water dimer binding
+    z, x = fx.water_dimer()
+    _, e_cplx = relax(z, x)
+    x_sep = np.asarray(x, np.float64).copy()
+    x_sep[3:] += np.array([40.0, 0.0, 0.0])
+    _, e_sep = relax(z, x_sep)
+    record_anchor("water_dimer_de", e_sep - e_cplx)
+
+    n_ok = sum(a["ok"] for a in anchors.values())
+    meta = {}
+    if os.path.exists(path):
+        data = np.load(path)
+        meta = {
+            k.strip("_"): str(data[k]) for k in data.files if k.startswith("__")
+        }
+    return {
+        "checkpoint": os.path.basename(path),
+        **meta,
+        "held_out": families,
+        "anchors": anchors,
+        "anchor_pass_rate": round(n_ok / max(len(anchors), 1), 3),
+    }
+
+
 def load_mlip(atomnos: np.ndarray, path: str | None = None) -> MLIPCalculator:
     """Load an MLIP checkpoint (bundled CHNO one by default) for a system."""
     import os
@@ -488,5 +689,18 @@ def load_mlip(atomnos: np.ndarray, path: str | None = None) -> MLIPCalculator:
 
 
 if __name__ == "__main__":
+    import json
+    import sys
+
     out = train_default_checkpoint()
     print(f"checkpoint written to {out}")
+    if "--no-eval" not in sys.argv:
+        report = evaluate_checkpoint(out)
+        eval_path = __import__("os").path.join(
+            __import__("os").path.dirname(__file__), "..", "..", "MLIP_EVAL.json"
+        )
+        eval_path = __import__("os").path.abspath(eval_path)
+        with open(eval_path, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"eval written to {eval_path}")
+        print(json.dumps(report, indent=1))

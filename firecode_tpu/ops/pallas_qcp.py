@@ -181,15 +181,33 @@ def _quaternion_planes(kents, lam):
     return w, x, y, z
 
 
+_ONE_MATMUL = os.environ.get("FIRECODE_QCP_ONE_MATMUL", "1") != "0"
+
+
 def _kernel(ax, ay, az, bx, by, bz, ga, gb, wsum_ref, out):
     planes = {}
     a_planes = (ax[:], ay[:], az[:])
     b_planes = (bx[:], by[:], bz[:])
-    for x in range(3):
-        for y in range(3):
-            planes[x, y] = jnp.dot(
-                a_planes[x], b_planes[y].T, preferred_element_type=jnp.float32
-            )
+    if _ONE_MATMUL:
+        # ONE (3BK, N) @ (N, 3BL) MXU launch instead of nine (BK, N) @
+        # (N, BL): the small matmuls under-fill the systolic pipeline
+        # (measured 30.9 -> see bench A/B); the 9 planes are static slices
+        # of the fused product
+        abig = jnp.concatenate(a_planes, axis=0)
+        bbig = jnp.concatenate(b_planes, axis=0)
+        prod = jnp.dot(abig, bbig.T, preferred_element_type=jnp.float32)
+        bk = ax.shape[0]
+        bl = bx.shape[0]
+        for x in range(3):
+            for y in range(3):
+                planes[x, y] = prod[x * bk:(x + 1) * bk, y * bl:(y + 1) * bl]
+    else:
+        for x in range(3):
+            for y in range(3):
+                planes[x, y] = jnp.dot(
+                    a_planes[x], b_planes[y].T,
+                    preferred_element_type=jnp.float32,
+                )
     ga_col = ga[0, :][:, None]  # (BK, 1)
     gb_row = gb[0, :][None, :]  # (1, BL)
     out[:] = _qcp_epilogue(planes, ga_col, gb_row, wsum_ref[0, 0])
