@@ -9,8 +9,11 @@ Angew. Chem. Int. Ed. 2020, 59, 15665) with two documented deviations:
 - the bonded stretch is a Morse well (identical equilibrium/curvature/
   dissociation behaviour to the paper's Gaussian-well-plus-bonded-repulsion
   pair, but with the inner wall built in — one term instead of two);
-- the three-body ATM dispersion term is omitted (sub-kcal for the organic
-  systems this framework targets; O(N^3) on device).
+- the three-body ATM dispersion term (included since r5, on by default) is
+  neighbor-capped at topology setup (6 A) and uses D3-style zero damping
+  on 0.85x vdW-sum radii rather than the paper's exact damping — the
+  benzene-sandwich ATM interaction matches D3's +0.22 kcal/mol; A/B over
+  the 87 anchors: all green before and after (ACCURACY.json).
 
 The electrostatics is a *variational* EEQ: atomic charges re-equilibrate at
 every geometry through a (N+1)x(N+1) KKT solve (erf-damped kernel,
@@ -295,9 +298,22 @@ def bond_params(top, p):
     # form cannot satisfy C-C/C-H/O-H/C-O simultaneously with shared radii.
     # Sigma bonds to sp centers contract further with s-character (alkyne
     # C-H 1.061, propyne C-C 1.459); gated by (1 - BO_pi) so the triple
-    # bond itself, already contracted via kr_pi, is not double-counted
-    sp_con = p["kr_sp"] * top.bond_nsp * jnp.maximum(1.0 - top.bond_bo, 0.0)
-    r0 = (rs - p["ken"] * top.bond_den ** 1.5 - sp_con) * (
+    # bond itself, already contracted via kr_pi, is not double-counted.
+    # X-H bonds at sp centers use the weaker kr_sp_h (one shared kr_sp
+    # left sp C-H 0.014 A too short while heavy-heavy sp sigma bonds were
+    # right — r5 sp-force work, ACCURACY force_rms acetylene/propyne/hcn).
+    is_h = (zi == 1) | (zj == 1)
+    k_sp_eff = jnp.where(is_h, p["kr_sp_h"], p["kr_sp"])
+    sp_con = k_sp_eff * top.bond_nsp * jnp.maximum(1.0 - top.bond_bo, 0.0)
+    # triple bonds (BO_pi > 1) contract beyond the linear kr_pi*BO law;
+    # the extra contraction fades with bond polarity (C#N needs a third of
+    # the C#C correction — its EN shortening already carries part of it)
+    trip_con = (
+        p["kr_triple"]
+        * jnp.maximum(top.bond_bo - 1.0, 0.0)
+        * jnp.maximum(1.0 - p["kt_en"] * top.bond_den, 0.0)
+    )
+    r0 = (rs - p["ken"] * top.bond_den ** 1.5 - sp_con - trip_con) * (
         1.0 - p["kr_pi"] * top.bond_bo
     )
     # well depth from the force-constant-calibrated stretch table

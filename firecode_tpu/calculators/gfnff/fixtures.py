@@ -804,13 +804,16 @@ ION_DIAGNOSTICS: dict[str, float] = {
 # ~1.15x their round-4 values so any regression fails tests/test_accuracy.
 # Everything not listed must stay under the generic cap.
 FORCE_RMS_CAPS: dict[str, float] = {
-    "acetylene": 74.0,
+    # sp-carbon rows ratcheted from 74/51/41 after the r5 radius work
+    # (kr_sp_h split + kr_triple/kt_en): relaxed sp geometries now match
+    # experiment to ~0.005 A and residuals are single-digit
+    "acetylene": 3.0,
     "water_dimer": 52.0,
-    "propyne": 51.0,
+    "propyne": 8.0,
     "formic_dimer": 43.0,
     "formic_acid": 42.0,
-    "hcn": 41.0,
-    "acetonitrile": 23.0,
+    "hcn": 4.0,
+    "acetonitrile": 9.0,
     "formamide": 20.0,
     "formaldehyde": 18.0,
     "ethylene": 17.0,

@@ -242,6 +242,15 @@ class GlobalParams:
     # H3C-C#CH central C-C 1.459 vs 1.536 — s-character shortens sigma
     # bonds to sp centers; anchored on the alkyne/nitrile fixture set
     kr_sp: float = 0.045
+    # X-H bonds at sp centers contract LESS than heavy-heavy sp sigma
+    # bonds (alkyne C-H relaxed 1.047 vs exp 1.061 under a shared kr_sp)
+    kr_sp_h: float = 0.031
+    # extra contraction of triple bonds beyond the linear kr_pi*BO law
+    # (C#C relaxed 1.236 vs exp 1.203), fading with bond polarity (C#N
+    # only needs ~1/3 of it — EN shortening already carries part):
+    # trip_con = kr_triple * max(BO-1, 0) * max(1 - kt_en * dEN, 0)
+    kr_triple: float = 0.0836
+    kt_en: float = 1.32
     # angles: E = ka * sqrt(fA fB) * damp * (cos t - cos t0)^2
     ka_s: float = 55.0
     ka_lin: float = 28.0  # linear-center prefactor on (1 + cos t)

@@ -525,8 +525,10 @@ def optimize_batch(
     # full compute under SPMD, so once a round converges >=25% of the batch
     # the survivors are gathered into a power-of-2 bucket (ghost-padded with
     # a duplicate of one live lane) and later rounds run on the smaller
-    # batch. Rounds reset all per-lane FIRE state, so lane trajectories are
-    # bit-identical with or without compaction (tested); buckets are powers
+    # batch. Rounds reset all per-lane FIRE state, so lane trajectories agree
+    # with the uncompacted run to convergence precision (tested; XLA may
+    # tile per-lane reductions differently per batch shape, so not
+    # strictly bitwise); buckets are powers
     # of two to bound the number of distinct compiled shapes. Disabled under
     # a mesh (resharding mid-run is not worth it) and for small batches.
     b = coords.shape[0]

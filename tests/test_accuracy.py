@@ -431,8 +431,9 @@ def test_ion_hydration_anchored():
     reproduce the KCT-2006 ion hydration free energies: at least 5 of the
     6 anchors inside their windows, and the pKa-setting homolog deltas
     (hydroxide-methoxide, ammonium-methylammonium) within a few kcal/mol.
-    Known residual: formate ~5 kcal/mol overbound relative to acetate
-    (alkyl-burial descreening asymmetry of the single-site carboxylate)."""
+    (The r4 formate residual — ~5 kcal/mol overbound — cleared in r5 when
+    the excess-charge CAHB featurization changed the relaxed carboxylate
+    geometries: all 6 anchors green, ACCURACY.json.)"""
     from firecode_tpu.calculators.fit_solvation import ion_hydration_energies
     from firecode_tpu.calculators.solvation import load_ion_params
 

@@ -317,7 +317,8 @@ def test_energy_terms_breakdown_sums_to_total(ethanol_calc):
     z, x, calc = ethanol_calc
     terms = gfnff_energy_terms(jnp.asarray(x), calc.topology, calc.params)
     assert set(terms) == {
-        "bond", "angle", "torsion", "oop", "rep", "disp", "es", "hb", "xb"
+        "bond", "angle", "torsion", "oop", "rep", "disp", "atm", "es", "hb",
+        "xb",
     }
     total = float(calc.energy(jnp.asarray(x)))
     assert abs(sum(float(v) for v in terms.values()) - total) < 1e-9
