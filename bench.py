@@ -184,7 +184,7 @@ def run_cascade(
     # 6.1/3.0/4.1/5.7 s for the 1M MOI stage (bigger blocks lose to the
     # sequential in-block resolve); the log-space ratio kernel then cut
     # 1024 to ~2.0 s
-    keep = prune_by_moi(coords, atomnos, block=max(block, 1024))
+    keep = prune_by_moi(coords, atomnos, block=max(block, 1024), as_numpy=False)
     coords = compact(coords, keep)
     coords.block_until_ready()
     t1 = time.perf_counter()
@@ -197,7 +197,7 @@ def run_cascade(
 
         keep = prune_by_rmsd_sharded(coords, rmsd_thr=0.5, block=min(block, 512))
     else:
-        keep = prune_by_rmsd(coords, atomnos, rmsd_thr=0.5, block=block)
+        keep = prune_by_rmsd(coords, atomnos, rmsd_thr=0.5, block=block, as_numpy=False)
     coords = compact(coords, keep)
     coords.block_until_ready()
     t2 = time.perf_counter()
@@ -205,7 +205,8 @@ def run_cascade(
     stages["n_after_rmsd"] = int(len(coords))
 
     keep = prune_by_rmsd_rot_corr(
-        coords, atomnos, permutations=perms, rmsd_thr=0.5, block=min(block, 256)
+        coords, atomnos, permutations=perms, rmsd_thr=0.5, block=min(block, 256),
+        as_numpy=False,
     )
     coords = compact(coords, keep)
     coords.block_until_ready()
@@ -508,9 +509,17 @@ def bench_recall() -> dict:
 def bench_pallas_ab() -> dict:
     """Isolated A/B of the fused Pallas QCP tile vs the jnp path: the full
     8192^2 minimum-RMSD matrix (rmsd-only, the Pallas production use case).
-    Returns {} off-TPU (interpret mode would measure nothing useful)."""
+    Returns {} off-TPU (interpret mode would measure nothing useful).
+
+    Methodology (r5): each path runs REPS times inside ONE jitted fori_loop
+    with per-rep perturbed inputs, and the per-rep wall is reported. The
+    r2-r4 shape (3 sequential dispatches of the same call) measured the
+    TUNNEL dispatch latency, not the kernel: on this box the identical
+    kernel reads 29-33 ms dispatched eagerly vs 7.9 ms per rep in-loop.
+    Per-rep input perturbation also defeats any backend request caching."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     if jax.default_backend() != "tpu":
         return {}
@@ -528,23 +537,34 @@ def bench_pallas_ab() -> dict:
         jnp.asarray(rng.normal(size=(k, n, 3)).astype(np.float32) * 2.0)
     )
 
-    @jax.jit
-    def jnp_path(ac, ga):
+    def jnp_once(ac, ga):
         s = _pairwise_correlation(ac, ac)
         lam = _qcp_lambda_max(s, ga[:, None], ga[None, :])
         return jnp.sum(_rmsd_from_lambda(ga[:, None], ga[None, :], lam, wsum))
 
-    @jax.jit
-    def pallas_path(ac, ga):
+    def pallas_once(ac, ga):
         return jnp.sum(pallas_rmsd_tile(ac, ga, ac, ga, wsum))
 
+    def looped(once, reps):
+        @jax.jit
+        def run(ac, ga):
+            def body(i, acc):
+                aci = ac + 1e-4 * i.astype(ac.dtype)
+                return acc + once(aci, ga)
+
+            return lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        return run
+
     out = {}
-    for name, fn in (("jnp", jnp_path), ("pallas", pallas_path)):
+    for name, once, reps in (("jnp", jnp_once, 3), ("pallas", pallas_once, 10)):
+        fn = looped(once, reps)
         fn(ac, ga).block_until_ready()  # compile
         t0 = time.perf_counter()
-        for _ in range(3):
-            fn(ac, ga).block_until_ready()
-        out[f"rmsd_8k_{name}_ms"] = round((time.perf_counter() - t0) / 3 * 1000, 1)
+        fn(ac, ga).block_until_ready()
+        out[f"rmsd_8k_{name}_ms"] = round(
+            (time.perf_counter() - t0) / reps * 1000, 1
+        )
     return out
 
 

@@ -190,7 +190,7 @@ def _run_sharded(feats, b, e, thr, max_dE, kind, block, mesh, *,
     use_pallas = False
     keep = _sharded_prune_jit(
         feats,
-        jnp.asarray(e if has_energies else np.zeros(b), dtype),
+        jnp.asarray(e, dtype) if has_energies else jnp.zeros(b, dtype),
         jnp.asarray(thr, dtype),
         jnp.asarray(max_dE, dtype),
         jnp.asarray(wsum if wsum is not None else 0.0, dtype),

@@ -305,8 +305,13 @@ def prune_by_rmsd(
     atom_mask=None,
     mesh=None,
     use_pallas: bool | None = None,
+    as_numpy: bool = True,
 ) -> np.ndarray:
     """Greedy RMSD-similarity keep mask for an ensemble [B, N, 3].
+
+    as_numpy=False returns the keep mask as a DEVICE array — at the 1e7
+    point the host round trip of a 10 MB bool mask costs ~1 s through a
+    tunneled backend, and callers that compact on device ship it back.
 
     atom_mask: optional bool[N] — False lanes are padding (bucketed
     variable-size molecules) and are excluded from RMSD and max-deviation.
@@ -331,7 +336,14 @@ def prune_by_rmsd(
             f"energies length {np.shape(energies)[0]} does not match ensemble size {b}"
         )
     has_mask = atom_mask is not None
-    e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
+    # device-side zeros when no energies: jnp.asarray(np.zeros(1e7)) ships
+    # 40 MB of host zeros through the ~20 MB/s TPU tunnel (~2 s measured
+    # at the 10M bench point)
+    e = (
+        jnp.asarray(energies, dtype=coords.dtype)
+        if has_energies
+        else jnp.zeros(b, dtype=coords.dtype)
+    )
     mask = jnp.asarray(
         atom_mask if has_mask else np.ones(coords.shape[1], dtype=bool)
     )
@@ -347,7 +359,7 @@ def prune_by_rmsd(
         has_mask,
         pallas_default(use_maxdev) if use_pallas is None else use_pallas,
     )
-    return np.asarray(keep)
+    return np.asarray(keep) if as_numpy else keep
 
 
 # --------------------------------------------------------------------------
@@ -415,6 +427,7 @@ def prune_by_rmsd_rot_corr(
     mesh=None,
     use_pallas: bool | None = None,
     atom_mask=None,
+    as_numpy: bool = True,
 ) -> np.ndarray:
     """RMSD prune where similarity is additionally checked under rotameric
     atom permutations (methyl/tBu/phenyl top rotations).
@@ -459,7 +472,14 @@ def prune_by_rmsd_rot_corr(
         raise ValueError(
             f"energies length {np.shape(energies)[0]} does not match ensemble size {b}"
         )
-    e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
+    # device-side zeros when no energies: jnp.asarray(np.zeros(1e7)) ships
+    # 40 MB of host zeros through the ~20 MB/s TPU tunnel (~2 s measured
+    # at the 10M bench point)
+    e = (
+        jnp.asarray(energies, dtype=coords.dtype)
+        if has_energies
+        else jnp.zeros(b, dtype=coords.dtype)
+    )
     has_mask = atom_mask is not None
     mask = jnp.asarray(
         atom_mask if has_mask else np.ones(coords.shape[1], dtype=bool)
@@ -477,7 +497,7 @@ def prune_by_rmsd_rot_corr(
         mask,
         has_mask,
     )
-    return np.asarray(keep)
+    return np.asarray(keep) if as_numpy else keep
 
 
 # --------------------------------------------------------------------------
@@ -898,6 +918,7 @@ def prune_by_moi(
     block: int = 1024,
     mesh=None,
     atom_mask=None,
+    as_numpy: bool = True,
 ) -> np.ndarray:
     """Moment-of-inertia similarity keep mask (energy-gated when available).
 
@@ -926,7 +947,14 @@ def prune_by_moi(
         raise ValueError(
             f"energies length {np.shape(energies)[0]} does not match ensemble size {b}"
         )
-    e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
+    # device-side zeros when no energies: jnp.asarray(np.zeros(1e7)) ships
+    # 40 MB of host zeros through the ~20 MB/s TPU tunnel (~2 s measured
+    # at the 10M bench point)
+    e = (
+        jnp.asarray(energies, dtype=coords.dtype)
+        if has_energies
+        else jnp.zeros(b, dtype=coords.dtype)
+    )
     rel = jnp.asarray(rel_tol, coords.dtype)
     mde = jnp.asarray(max_dE, coords.dtype)
 
@@ -965,7 +993,7 @@ def prune_by_moi(
             )
             if _dbg:
                 print(f"    [moi] grid engine total: {_time.perf_counter() - _t2:.2f}s", flush=True)
-            return np.asarray(keep)
+            return np.asarray(keep) if as_numpy else keep
 
     keep = _prune_moi_device(
         lm,
@@ -979,7 +1007,7 @@ def prune_by_moi(
         # large ensembles the triangular column-loop path halves the work
         full_column=b <= 131072,
     )
-    return np.asarray(keep)
+    return np.asarray(keep) if as_numpy else keep
 
 
 def _make_tfd_sim(thresh, max_dE) -> SimFn:
@@ -1013,6 +1041,7 @@ def prune_by_tfd(
     max_dE: float = 1.0,
     block: int = 1024,
     mesh=None,
+    as_numpy: bool = True,
 ) -> np.ndarray:
     """Torsion-fingerprint-deviation keep mask (firecode csearch dedup)."""
     coords = jnp.asarray(coords)
@@ -1032,7 +1061,14 @@ def prune_by_tfd(
         raise ValueError(
             f"energies length {np.shape(energies)[0]} does not match ensemble size {b}"
         )
-    e = jnp.asarray(energies if has_energies else np.zeros(b), dtype=coords.dtype)
+    # device-side zeros when no energies: jnp.asarray(np.zeros(1e7)) ships
+    # 40 MB of host zeros through the ~20 MB/s TPU tunnel (~2 s measured
+    # at the 10M bench point)
+    e = (
+        jnp.asarray(energies, dtype=coords.dtype)
+        if has_energies
+        else jnp.zeros(b, dtype=coords.dtype)
+    )
     keep = _prune_tfd_device(
         coords,
         jnp.asarray(quadruplets),
@@ -1042,7 +1078,7 @@ def prune_by_tfd(
         block,
         has_energies,
     )
-    return np.asarray(keep)
+    return np.asarray(keep) if as_numpy else keep
 
 
 def _shard_block(block: int, b: int, mesh) -> int:
