@@ -621,23 +621,31 @@ def evaluate_checkpoint(path: str | None = None, seed: int = 12345) -> dict:
             "ok": bool(abs(value - tgt) <= 2 * tol),
         }
 
-    # ethane rigid torsion barrier
+    # ethane rigid torsion barrier (the H-only rotor is excluded from
+    # find_torsions as a dummy rotation, so build the quadruplet by hand:
+    # H-C-C-H with one methyl's hydrogens as the moving set)
     z, x = fx.ethane()
     x0, e0 = relax(z, x)
-    graph = graphize(np.asarray(z), x0)
-    tor = find_torsions(graph, np.asarray(z), x0)[0]
+    graph = graphize(np.asarray(z), np.asarray(x))
+    c0, c1 = [i for i in range(len(z)) if z[i] == 6][:2]
+    h0 = next(j for j in graph.neighbors(c0) if z[j] == 1)
+    h1 = next(j for j in graph.neighbors(c1) if z[j] == 1)
+    mask = np.zeros(len(z), bool)
+    for j in graph.neighbors(c1):
+        if z[j] == 1:
+            mask[j] = True
     x_ecl = np.asarray(rotate_dihedral(
         jnp.asarray(x0, jnp.float32)[None],
-        jnp.asarray(np.asarray(tor.quadruplet, np.int32)),
-        jnp.asarray([60.0], jnp.float32), jnp.asarray(tor.mask),
+        jnp.asarray(np.asarray([h0, c0, c1, h1], np.int32)),
+        jnp.asarray([60.0], jnp.float32), jnp.asarray(mask),
     )[0])
     record_anchor("ethane_barrier", sp(z, x_ecl) - e0)
 
     # butane gauche-anti gap
     z, x = fx.butane()
     x_anti, e_anti = relax(z, x)
-    graph = graphize(np.asarray(z), x_anti)
-    tors = find_torsions(graph, np.asarray(z), x_anti)
+    graph = graphize(np.asarray(z), np.asarray(x))
+    tors = find_torsions(graph, np.asarray(z), np.asarray(x))
     cc = max(tors, key=lambda t: int(np.sum(t.mask)))
     x_g = np.asarray(rotate_dihedral(
         jnp.asarray(x_anti, jnp.float32)[None],
