@@ -595,7 +595,11 @@ def main() -> None:
     # moment it exists, and every optional stage re-prints the enriched
     # record as a fresh last line. A kill mid-stage can only cost the stage
     # in flight, never the headline (round-3 lesson: rc=124, parsed=null).
-    budget_s = float(os.environ.get("FIRECODE_BENCH_BUDGET_S", "420"))
+    # 900 s default (was 420): the record is re-emitted after every stage,
+    # so an external kill only costs the stage in flight — a larger budget
+    # can never lose lanes, it can only capture more of them. With the
+    # committed warm cache the full set completes in ~6-8 min.
+    budget_s = float(os.environ.get("FIRECODE_BENCH_BUDGET_S", "900"))
     t_start = time.perf_counter()
 
     def remaining() -> float:
